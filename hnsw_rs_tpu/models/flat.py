@@ -1,0 +1,78 @@
+"""Exact (brute-force) nearest-neighbor index.
+
+The reference only has a host-side scalar brute-force helper used as the
+recall oracle (``hnsw/src/helpers/glove.rs:73-109``); here it is a
+first-class index model: all-pairs quantized L2 on the MXU with on-device
+top-k — the TPU-KNN-style "flat" baseline every ANN framework needs, and
+the ground-truth generator for the HNSW recall gate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import DimensionMismatch
+from ..ops.distance import pairwise_l2sq_exact, pairwise_l2sq_mxu, point_normsq
+from ..ops.quant import dequantize, quantize
+from ..ops.topk import topk_dist_id
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def _flat_search(q, codes, scales, normsq, k: int, exact: bool):
+    if exact:
+        d2 = pairwise_l2sq_exact(q, codes, scales)
+    else:
+        d2 = pairwise_l2sq_mxu(q, codes, scales, normsq)
+    ids = jnp.broadcast_to(
+        jnp.arange(codes.shape[0], dtype=jnp.int32), d2.shape
+    )
+    td, ti = topk_dist_id(d2, ids, k)
+    return jnp.sqrt(td), ti
+
+
+class FlatIndex:
+    """Exact k-NN over a quantized (or raw float) collection."""
+
+    def __init__(self, dim: int, quantized: bool = True):
+        self.dim = int(dim)
+        self.quantized = quantized
+        self.codes = jnp.zeros((0, dim), jnp.uint8)
+        self.scales = jnp.zeros((0, 2), jnp.float32)
+        self._normsq = jnp.zeros((0,), jnp.float32)
+
+    def __len__(self) -> int:
+        return int(self.codes.shape[0])
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Append vectors; returns their assigned ids (row positions)."""
+        vectors = jnp.asarray(vectors, jnp.float32)
+        if vectors.shape[-1] != self.dim:
+            raise DimensionMismatch(
+                f"index dim {self.dim}, got {vectors.shape[-1]}"
+            )
+        codes, scales = quantize(vectors)
+        start = len(self)
+        self.codes = jnp.concatenate([self.codes, codes], axis=0)
+        self.scales = jnp.concatenate([self.scales, scales], axis=0)
+        self._normsq = point_normsq(self.codes, self.scales)
+        return np.arange(start, start + vectors.shape[0], dtype=np.int32)
+
+    def search(
+        self, queries: np.ndarray, k: int, exact: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k: returns (distances [B, k], ids [B, k]).
+
+        Queries are quantized first (the reference quantizes every query,
+        ``hnsw/src/template.rs:313``) so distances live in the same
+        quantized space as the HNSW path. ``exact=True`` uses the direct
+        (cancellation-free) distance form for oracle use; the default MXU
+        form is the fast path.
+        """
+        qc, qs = quantize(jnp.atleast_2d(jnp.asarray(queries, jnp.float32)))
+        q = dequantize(qc, qs)
+        d, i = _flat_search(q, self.codes, self.scales, self._normsq, k, exact)
+        return np.asarray(d), np.asarray(i)

@@ -1,0 +1,104 @@
+"""Quantized point storage, structure-of-arrays.
+
+TPU-native equivalent of the reference's ``points`` crate: ``SimplePoints``
+(``points/src/points.rs:33-169``) holding ``Point { id, level, QuantVec }``
+records (``points/src/point.rs:5-10``) becomes three dense device arrays —
+``codes`` uint8[N, d], ``scales`` float32[N, 2] and ``levels`` int32[N] —
+with ids being row positions (exactly the reference's id-is-position
+contract, ``points/src/points.rs:64-73``).
+
+Level sampling follows ``new_layer`` (``points/src/points.rs:148-160``):
+``level = floor(-ln(u) * ml)`` with ``u`` drawn uniform in (0, 1), using a
+deterministic seed like the reference's ``StdRng::seed_from_u64(0)``
+(``points/src/points.rs:40``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.distance import l2sq_quant
+from .ops.quant import dequantize, quantize
+
+MAX_LEVEL = 31  # safety cap; with ml = 1/ln(m) real levels stay far below
+
+
+def sample_levels(n: int, ml: float, seed: int = 0) -> np.ndarray:
+    """Geometric level sampling, ``floor(-ln(u) * ml)``, u in (0, 1)
+    (``points/src/points.rs:148-160``), deterministic in ``seed``."""
+    rng = np.random.default_rng(seed)
+    u = rng.random(n)
+    # the reference redraws u == 0.0 / 1.0; p=0 events with float64 open
+    # interval [0,1) except exactly 0.0 — redraw those
+    while np.any(u == 0.0):
+        u[u == 0.0] = rng.random(int(np.sum(u == 0.0)))
+    levels = np.floor(-np.log(u) * ml).astype(np.int32)
+    return np.minimum(levels, MAX_LEVEL)
+
+
+class PointStore:
+    """Dense quantized point collection (the ``SimplePoints`` analogue)."""
+
+    def __init__(self, codes: jnp.ndarray, scales: jnp.ndarray, levels: np.ndarray):
+        self.codes = codes  # uint8[N, d]
+        self.scales = scales  # f32[N, 2]
+        self.levels = np.asarray(levels, np.int32)  # host metadata
+
+    @classmethod
+    def empty(cls, dim: int) -> "PointStore":
+        return cls(
+            jnp.zeros((0, dim), jnp.uint8),
+            jnp.zeros((0, 2), jnp.float32),
+            np.zeros((0,), np.int32),
+        )
+
+    @classmethod
+    def from_vectors(
+        cls, vectors: np.ndarray, ml: float, seed: int = 0
+    ) -> "PointStore":
+        """Quantize and level-sample a batch of float vectors
+        (``SimplePoints::new``, ``points/src/points.rs:39-48``)."""
+        vectors = jnp.asarray(vectors, jnp.float32)
+        codes, scales = quantize(vectors)
+        levels = sample_levels(vectors.shape[0], ml, seed)
+        return cls(codes, scales, levels)
+
+    def __len__(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def dim(self) -> int | None:
+        return int(self.codes.shape[1]) if len(self) else None
+
+    def ids(self) -> np.ndarray:
+        return np.arange(len(self), dtype=np.int32)
+
+    def extend(self, other: "PointStore") -> np.ndarray:
+        """Append another store, re-iding its points to tail positions
+        (``SimplePoints::extend``, ``points/src/points.rs:103-116``).
+        Returns the new ids."""
+        start = len(self)
+        self.codes = jnp.concatenate([self.codes, other.codes], axis=0)
+        self.scales = jnp.concatenate([self.scales, other.scales], axis=0)
+        self.levels = np.concatenate([self.levels, other.levels])
+        return np.arange(start, start + len(other), dtype=np.int32)
+
+    def get_values(self, idx) -> np.ndarray:
+        """Dequantized float values of point(s) ``idx``
+        (``Point::get_vals`` / ``iter_vals``)."""
+        return np.asarray(dequantize(self.codes[idx], self.scales[idx]))
+
+    def distance(self, a: int, b: int) -> float:
+        """True L2 between stored (quantized) points ``a`` and ``b``
+        (``SimplePoints::distance``, ``points/src/points.rs:88-96``)."""
+        qa = dequantize(self.codes[a], self.scales[a])
+        return float(jnp.sqrt(l2sq_quant(qa, self.codes[b], self.scales[b])))
+
+    def distance_to_vector(self, vector: np.ndarray, idx: int) -> float:
+        """L2 from a raw query vector (quantized first, as the reference
+        quantizes every query — ``hnsw/src/template.rs:313``) to point
+        ``idx`` (``SimplePoints::distance2point``)."""
+        qc, qs = quantize(jnp.asarray(vector, jnp.float32))
+        q = dequantize(qc, qs)
+        return float(jnp.sqrt(l2sq_quant(q, self.codes[idx], self.scales[idx])))

@@ -1,0 +1,20 @@
+"""Test harness config: force an 8-device virtual CPU mesh so sharding
+tests run without TPU hardware (multi-chip is validated on a host-platform
+mesh, the TPU-equivalent of the reference's thread-pool concurrency test at
+``graph/src/graph.rs:463-486``)."""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TEST_DATA = os.path.join(REPO_ROOT, "test-data")
