@@ -1,0 +1,250 @@
+"""Batched lockstep graph traversal — the query/build hot path.
+
+TPU-native redesign of the reference's ``Searcher``
+(``hnsw/src/template/searcher.rs``). The reference walks one query at a time
+through pointer-chased node sets using ``BTreeSet`` priority queues; here a
+whole batch of queries traverses in lockstep inside a ``lax.while_loop``:
+
+- The ``selected``/``candidates`` queue pair
+  (``hnsw/src/template/results.rs:26-33``) collapses into a single sorted
+  **flagged beam** per query: fixed ``ef``-wide arrays ``(d2, id, expanded)``
+  ordered by (dist asc, id asc) — the ``Dist`` total order of
+  ``graph/src/dist.rs:30-38``. The best *unexpanded* entry is the reference's
+  ``candidates.pop_first()``; "no unexpanded entry in the beam" is the
+  reference's termination test "best candidate worse than worst selected"
+  (``searcher.rs:35-44``): any candidate outside the current top-``ef`` can
+  never be selected, so expanding it only wastes work.
+- The per-query ``visited`` ``IntSet`` becomes a dense bool[B, N] matrix
+  updated with batched scatters.
+- Neighbor expansion is a batched adjacency-row gather + fused
+  dequantize-L2 (``quant.rs:14-37``) over [B, cap, d] on the VPU.
+- Every loop has a static trip bound (XLA requirement); queries that
+  converge early are masked out, and the loop exits when the whole batch
+  has converged.
+
+``search_layer`` keeps the reference's cross-layer contract: the returned
+beam seeds the next (lower) layer's search (``searcher.rs:100-101``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ops.distance import l2sq
+from .ops.quant import dequantize
+from .ops.topk import INF, PAD_ID, sort_dist_id
+
+
+def _gather_vecs(codes: jnp.ndarray, scales: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Dequantized vectors for (possibly invalid) ids; invalid rows are
+    garbage and must be masked by the caller via distances."""
+    safe = jnp.clip(ids, 0, codes.shape[0] - 1)
+    return dequantize(codes[safe], scales[safe])
+
+
+def _row_min_dist_id(d2: jnp.ndarray, ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(min d2, min id among argmins) along the last axis — the Dist-order
+    minimum with id tie-break."""
+    min_d2 = jnp.min(d2, axis=-1)
+    min_id = jnp.min(
+        jnp.where(d2 == min_d2[..., None], ids, PAD_ID), axis=-1
+    )
+    return min_d2, min_id
+
+
+def greedy_descent(
+    adj: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    cur_d2: jnp.ndarray,
+    cur_ids: jnp.ndarray,
+    forbid: jnp.ndarray | None = None,
+    max_iters: int = 128,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched ef=1 layer traversal: strict-improvement hill climb.
+
+    Semantics of ``search_layer`` with ``ef = 1`` (``searcher.rs:23-103``):
+    move to the neighbor nearest to ``q`` iff it is strictly better than the
+    current node under the (dist, id) order; stop otherwise. Used for the
+    upper-layer descent of both query (``template.rs:322-324``) and insert
+    (``inserter.rs:70-89``) paths.
+
+    q: f32[B, d]; cur_d2/cur_ids: [B] current position; forbid: optional [B]
+    id to never move to (a node must not route through itself during build).
+    """
+    n = codes.shape[0]
+
+    def body(state):
+        cur_d2, cur_ids, moved = state
+        safe = jnp.clip(cur_ids, 0, n - 1)
+        nbrs = adj[safe]  # [B, cap]
+        valid = nbrs >= 0
+        if forbid is not None:
+            valid = jnp.logical_and(valid, nbrs != forbid[:, None])
+        vecs = _gather_vecs(codes, scales, nbrs)  # [B, cap, d]
+        d2 = l2sq(q[:, None, :], vecs)
+        d2 = jnp.where(valid, d2, INF)
+        nids = jnp.where(valid, nbrs, PAD_ID)
+        best_d2, best_id = _row_min_dist_id(d2, nids)
+        better = jnp.logical_or(
+            best_d2 < cur_d2,
+            jnp.logical_and(best_d2 == cur_d2, best_id < cur_ids),
+        )
+        return (
+            jnp.where(better, best_d2, cur_d2),
+            jnp.where(better, best_id, cur_ids),
+            better,
+        )
+
+    # strict lexicographic improvement cannot cycle, but keep a static
+    # safety bound anyway (XLA-friendly; real walks stop in O(log N) hops)
+    def cond(state):
+        return jnp.any(state[2])
+
+    cur_d2, cur_ids, _ = jax.lax.while_loop(
+        cond, body, (cur_d2, cur_ids, jnp.ones(cur_d2.shape, bool))
+    )
+    del max_iters
+    return cur_d2, cur_ids
+
+
+def init_beam(
+    entry_d2: jnp.ndarray, entry_ids: jnp.ndarray, ef: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build an ef-wide sorted flagged beam from entry points [B, k].
+
+    Mirrors ``extend_candidates_with_selected`` seeding
+    (``searcher.rs:33-34``): entries start unexpanded. Invalid entries must
+    already carry (inf, PAD_ID); they get expanded=True so they never fire.
+    """
+    b, k = entry_ids.shape
+    if k < ef:
+        pad_d2 = jnp.full((b, ef - k), INF, entry_d2.dtype)
+        pad_ids = jnp.full((b, ef - k), PAD_ID, entry_ids.dtype)
+        entry_d2 = jnp.concatenate([entry_d2, pad_d2], axis=1)
+        entry_ids = jnp.concatenate([entry_ids, pad_ids], axis=1)
+    d2, ids = sort_dist_id(entry_d2, entry_ids)
+    d2, ids = d2[:, :ef], ids[:, :ef]
+    expanded = ids == PAD_ID
+    return d2, ids, expanded
+
+
+def search_layer(
+    adj: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    entry_d2: jnp.ndarray,
+    entry_ids: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    forbid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched beam search over one layer (HNSW Algorithm 2;
+    ``searcher.rs:23-103``).
+
+    Returns the sorted beam ``(d2 [B, ef], ids [B, ef])`` — the reference's
+    ``selected`` set, which the caller hands to the next layer.
+
+    One loop iteration = one ``candidates.pop_first()`` expansion for every
+    query in the batch: gather the best unexpanded beam entry's adjacency
+    row, mask visited/invalid/forbidden neighbors, fused dequantize-L2 to
+    the queries, and merge into the beam with one two-key sort.
+    """
+    b, _ = q.shape
+    n = codes.shape[0]
+    beam_d2, beam_ids, beam_exp = init_beam(entry_d2, entry_ids, ef)
+
+    visited = jnp.zeros((b, n), bool)
+    # entries are pre-visited (extend_visited_with_selected, searcher.rs:34)
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    ecols = jnp.where(entry_ids == PAD_ID, n, entry_ids)
+    visited = visited.at[rows, ecols].set(True, mode="drop")
+    if forbid is not None:
+        fcols = jnp.where(forbid < 0, n, forbid)[:, None]
+        visited = visited.at[rows, fcols].set(True, mode="drop")
+
+    slot_iota = jnp.arange(ef, dtype=jnp.int32)[None, :]
+
+    def cond(state):
+        it, _, _, beam_exp, _ = state
+        return jnp.logical_and(it < max_iters, jnp.any(~beam_exp))
+
+    def body(state):
+        it, beam_d2, beam_ids, beam_exp, visited = state
+        unexp = jnp.logical_not(beam_exp)
+        active = jnp.any(unexp, axis=1)  # [B]
+        # first unexpanded slot = best candidate (beam is sorted)
+        pos = jnp.argmax(unexp, axis=1)  # [B]
+        cand = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
+        # mark it expanded
+        hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
+        beam_exp = jnp.logical_or(beam_exp, hit)
+
+        safe = jnp.clip(cand, 0, n - 1)
+        nbrs = adj[safe]  # [B, cap]
+        valid = jnp.logical_and(nbrs >= 0, active[:, None])
+        if forbid is not None:
+            valid = jnp.logical_and(valid, nbrs != forbid[:, None])
+        nbrs_safe = jnp.where(valid, nbrs, 0)
+        seen = jnp.take_along_axis(visited, nbrs_safe, axis=1)
+        new = jnp.logical_and(valid, jnp.logical_not(seen))
+        cols = jnp.where(new, nbrs, n)
+        visited = visited.at[rows, cols].set(True, mode="drop")
+
+        vecs = _gather_vecs(codes, scales, nbrs_safe)  # [B, cap, d]
+        nd2 = l2sq(q[:, None, :], vecs)
+        nd2 = jnp.where(new, nd2, INF)
+        nids = jnp.where(new, nbrs, PAD_ID)
+
+        md2 = jnp.concatenate([beam_d2, nd2], axis=1)
+        mids = jnp.concatenate([beam_ids, nids], axis=1)
+        mexp = jnp.concatenate([beam_exp, jnp.logical_not(new)], axis=1)
+        md2, mids, mexp = sort_dist_id(md2, mids, mexp)
+        return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], visited)
+
+    _, beam_d2, beam_ids, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), beam_d2, beam_ids, beam_exp, visited)
+    )
+    return beam_d2, beam_ids
+
+
+def seed_entry(
+    codes: jnp.ndarray, scales: jnp.ndarray, q: jnp.ndarray, ep: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Distance of every query to the global entry point — the search seed
+    (``template.rs:316-319`` / ``inserter.rs:53-68``)."""
+    b = q.shape[0]
+    ep_ids = jnp.broadcast_to(jnp.asarray(ep, jnp.int32), (b,))
+    ep_vec = _gather_vecs(codes, scales, ep_ids)
+    d2 = l2sq(q, ep_vec)
+    return d2[:, None], ep_ids[:, None]
+
+
+def ann_search(
+    adjs: tuple[jnp.ndarray, ...],
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    ep: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full batched query pipeline (``HNSW::ann_by_vector``,
+    ``template.rs:306-335``): seed at the entry point, greedy ef=1 descent
+    through layers top..1, beam search with width ``ef`` at layer 0, return
+    the top-k (d2, ids).
+
+    ``adjs`` is ordered layer 0 first. Jittable; ef/k/max_iters static.
+    """
+    entry_d2, entry_ids = seed_entry(codes, scales, q, ep)
+    cur_d2, cur_ids = entry_d2[:, 0], entry_ids[:, 0]
+    for adj in reversed(adjs[1:]):
+        cur_d2, cur_ids = greedy_descent(adj, codes, scales, q, cur_d2, cur_ids)
+    beam_d2, beam_ids = search_layer(
+        adjs[0], codes, scales, q, cur_d2[:, None], cur_ids[:, None], ef, max_iters
+    )
+    return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]

@@ -1,0 +1,166 @@
+"""Traversal-layer tests: batched greedy descent, flagged-beam
+search_layer, and select_heuristic against scalar numpy oracles on random
+graphs with integer-exact arithmetic (no float-tie flakiness)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hnsw_rs_tpu.heuristic import select_heuristic
+from hnsw_rs_tpu.ops.topk import PAD_ID
+from hnsw_rs_tpu.search import ann_search, greedy_descent, search_layer, seed_entry
+
+from oracle import beam_search_oracle, d2, greedy_oracle, heuristic_oracle
+
+
+def make_int_points(n, d, rng, hi=16):
+    """Integer-valued points via (codes, scales=(0,1)): dequantized values
+    equal the codes exactly, so all f32 distance sums are exact."""
+    codes = rng.integers(0, hi, size=(n, d), dtype=np.uint8)
+    scales = np.tile(np.asarray([[0.0, 1.0]], np.float32), (n, 1))
+    return jnp.asarray(codes), jnp.asarray(scales), codes.astype(np.float32)
+
+
+def make_rand_adj(n, cap, rng, p_empty=0.2):
+    adj = np.full((n, cap), -1, np.int32)
+    for i in range(n):
+        k = rng.integers(0, cap + 1)
+        if rng.random() < p_empty:
+            k = 0
+        others = [j for j in range(n) if j != i]
+        picks = rng.choice(others, size=min(k, len(others)), replace=False)
+        adj[i, : len(picks)] = picks
+    return jnp.asarray(adj)
+
+
+def test_greedy_descent_matches_oracle():
+    rng = np.random.default_rng(0)
+    n, d, cap, b = 60, 8, 6, 16
+    codes, scales, X = make_int_points(n, d, rng)
+    adj = make_rand_adj(n, cap, rng)
+    q = rng.integers(0, 16, size=(b, d)).astype(np.float32)
+    starts = rng.integers(0, n, size=b)
+    e_d2 = np.asarray([d2(q[i], X[starts[i]]) for i in range(b)], np.float32)
+    got_d2, got_ids = greedy_descent(
+        adj, codes, scales, jnp.asarray(q), jnp.asarray(e_d2),
+        jnp.asarray(starts, jnp.int32),
+    )
+    for i in range(b):
+        od2, oid = greedy_oracle(np.asarray(adj), X, q[i], int(starts[i]))
+        assert int(got_ids[i]) == oid and float(got_d2[i]) == od2
+
+
+def test_search_layer_matches_oracle():
+    rng = np.random.default_rng(1)
+    n, d, cap, b, ef = 80, 8, 8, 12, 10
+    codes, scales, X = make_int_points(n, d, rng)
+    adj = make_rand_adj(n, cap, rng, p_empty=0.0)
+    q = rng.integers(0, 16, size=(b, d)).astype(np.float32)
+    starts = rng.integers(0, n, size=b)
+    e_d2 = np.asarray([[d2(q[i], X[starts[i]])] for i in range(b)], np.float32)
+    e_ids = np.asarray(starts, np.int32)[:, None]
+    got_d2, got_ids = search_layer(
+        adj, codes, scales, jnp.asarray(q), jnp.asarray(e_d2),
+        jnp.asarray(e_ids), ef, max_iters=200,
+    )
+    for i in range(b):
+        expect = beam_search_oracle(
+            np.asarray(adj), X, q[i], [(float(e_d2[i, 0]), int(starts[i]))], ef
+        )
+        got = [
+            (float(got_d2[i, j]), int(got_ids[i, j]))
+            for j in range(ef)
+            if int(got_ids[i, j]) != PAD_ID
+        ]
+        assert got == expect, f"query {i}: {got} != {expect}"
+
+
+def test_search_layer_forbid_self():
+    rng = np.random.default_rng(2)
+    n, d, cap, b, ef = 40, 4, 6, 8, 6
+    codes, scales, X = make_int_points(n, d, rng)
+    adj = make_rand_adj(n, cap, rng, p_empty=0.0)
+    q = X[:b]  # queries are the first b points themselves
+    starts = rng.integers(0, n, size=b)
+    forbid = np.arange(b, dtype=np.int32)
+    e_d2 = np.asarray([[d2(q[i], X[starts[i]])] for i in range(b)], np.float32)
+    e_ids = np.asarray(starts, np.int32)[:, None]
+    got_d2, got_ids = search_layer(
+        adj, codes, scales, jnp.asarray(q), jnp.asarray(e_d2),
+        jnp.asarray(e_ids), ef, max_iters=200, forbid=jnp.asarray(forbid),
+    )
+    for i in range(b):
+        ids = [int(x) for x in got_ids[i] if int(x) != PAD_ID]
+        assert i not in ids
+        expect = beam_search_oracle(
+            np.asarray(adj), X, q[i],
+            [(float(e_d2[i, 0]), int(starts[i]))], ef, forbid=int(forbid[i]),
+        )
+        got = [
+            (float(got_d2[i, j]), int(got_ids[i, j]))
+            for j in range(ef)
+            if int(got_ids[i, j]) != PAD_ID
+        ]
+        # entry == forbidden self -> oracle still reports it (it was the
+        # entry); our kernel marks it visited up front. Compare sans self.
+        expect = [e for e in expect if e[1] != int(forbid[i])]
+        assert got == expect
+
+
+def test_select_heuristic_matches_oracle():
+    rng = np.random.default_rng(3)
+    n, d, cap, b, ef, m = 70, 8, 6, 10, 8, 4
+    codes, scales, X = make_int_points(n, d, rng)
+    adj = make_rand_adj(n, cap, rng, p_empty=0.0)
+    q = rng.integers(0, 16, size=(b, d)).astype(np.float32)
+    # candidate sets: random distinct ids with true distances
+    cand_ids = np.stack([
+        rng.choice(n, size=ef, replace=False) for _ in range(b)
+    ]).astype(np.int32)
+    cand_d2 = np.asarray(
+        [[d2(q[i], X[cand_ids[i, j]]) for j in range(ef)] for i in range(b)],
+        np.float32,
+    )
+    for extend in (False, True):
+        for keep in (False, True):
+            got_d2, got_ids = select_heuristic(
+                adj, codes, scales, jnp.asarray(q), jnp.asarray(cand_d2),
+                jnp.asarray(cand_ids), m, extend_cands=extend, keep_pruned=keep,
+            )
+            for i in range(b):
+                cands = [(float(cand_d2[i, j]), int(cand_ids[i, j])) for j in range(ef)]
+                expect = heuristic_oracle(
+                    np.asarray(adj), X, q[i], cands, m, extend=extend, keep_pruned=keep
+                )
+                got = [
+                    (float(got_d2[i, j]), int(got_ids[i, j]))
+                    for j in range(m)
+                    if int(got_ids[i, j]) != PAD_ID
+                ]
+                assert got == expect, (
+                    f"extend={extend} keep={keep} q{i}: {got} != {expect}"
+                )
+
+
+def test_ann_search_runs_end_to_end():
+    rng = np.random.default_rng(4)
+    n, d = 50, 8
+    codes, scales, X = make_int_points(n, d, rng)
+    adj0 = make_rand_adj(n, 8, rng, p_empty=0.0)
+    adj1 = make_rand_adj(n, 4, rng, p_empty=0.5)
+    q = rng.integers(0, 16, size=(4, d)).astype(np.float32)
+    dists, ids = ann_search(
+        (adj0, adj1), codes, scales, jnp.asarray(q), jnp.asarray(0), ef=8, k=5,
+        max_iters=100,
+    )
+    assert dists.shape == (4, 5) and ids.shape == (4, 5)
+    assert np.all(np.diff(np.asarray(dists), axis=1) >= 0)
+
+
+def test_seed_entry():
+    rng = np.random.default_rng(5)
+    codes, scales, X = make_int_points(10, 4, rng)
+    q = X[:3]
+    e_d2, e_ids = seed_entry(codes, scales, jnp.asarray(q), jnp.asarray(7))
+    assert np.all(np.asarray(e_ids) == 7)
+    for i in range(3):
+        assert float(e_d2[i, 0]) == d2(q[i], X[7])
