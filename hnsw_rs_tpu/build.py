@@ -1,0 +1,353 @@
+"""Wave-parallel bulk index construction.
+
+TPU-native redesign of ``HNSW::insert_bulk`` (``hnsw/src/template.rs:388-
+445``). The reference partitions each layer's home nodes across OS threads
+that race on per-node mutexes (``graph/src/graph.rs:9``); here the same
+top-down layer schedule is kept, but each layer's home nodes are inserted
+in **waves**: every node in a wave runs the full insertion pipeline
+(greedy descent above, beam search + select_heuristic at its layers,
+``inserter.rs:40-126``) in lockstep against the same immutable graph
+snapshot, then all of the wave's edges are applied at once as functional
+array updates — deterministic conflict resolution instead of locks.
+
+Wave updates per layer (the analogue of ``make_connections`` /
+``prune_connections`` / ``make_pruned_connections``,
+``template.rs:196-251``):
+
+1. each inserted node's own adjacency row is set to its heuristic-selected
+   neighbors;
+2. reverse edges are applied with a sort-based group-by-target: all
+   (target, source, d2) triples are sorted by (target, d2, source), ranked
+   within their target run, scattered into per-target slots, unioned with
+   the target's existing row, and the union is pruned to the layer's
+   degree cap keeping the (d2, id)-nearest — exactly the reference's
+   ``select_simple`` prune trigger/effect (``template.rs:209-238``,
+   ``template.rs:614-621``) applied eagerly.
+
+Wave sizes grow geometrically (small waves while the graph is sparse so
+early nodes see each other; large waves once the graph can absorb them),
+padded to a few static bucket sizes to bound XLA recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graphs import LayeredGraph
+from .heuristic import select_heuristic
+from .ops.quant import dequantize
+from .ops.topk import INF, PAD_ID, SENTINEL, sort_dist_id
+from .params import Params
+from .search import greedy_descent, search_layer, seed_entry
+from .store import PointStore
+from .utils.progress import ProgressBar
+
+
+# ---------------------------------------------------------------------------
+# wave scheduling
+
+
+def wave_schedule(count: int, base: int = 16, growth: float = 0.5, cap: int = 4096):
+    """Split ``count`` home nodes into geometrically growing wave sizes.
+
+    Early waves are small so the layer's graph densifies before large
+    lockstep batches (which cannot see each other) arrive.
+    """
+    sizes = []
+    done = 0
+    while done < count:
+        w = min(max(base, int(done * growth)), cap, count - done)
+        sizes.append(w)
+        done += w
+    return sizes
+
+
+def _bucket(w: int, buckets=(16, 64, 256, 1024, 4096)) -> int:
+    """Pad a wave size up to a static bucket to bound recompilation."""
+    for b in buckets:
+        if w <= b:
+            return b
+    return buckets[-1]
+
+
+# ---------------------------------------------------------------------------
+# device-side wave steps (jitted, static over shapes / layer index)
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "max_iters", "nlayers_above"))
+def _wave_search_above(
+    adjs_above: tuple,
+    codes,
+    scales,
+    ids_w,
+    ep,
+    ef: int,
+    max_iters: int,
+    nlayers_above: int,
+):
+    """Greedy ef=1 descent from the global EP through the layers above the
+    wave's home layer (``Inserter::traverse_layers_above``,
+    ``inserter.rs:70-89``). Returns [W, 1] entry (d2, ids)."""
+    del nlayers_above  # captured by the static structure of adjs_above
+    q = dequantize(codes[jnp.clip(ids_w, 0, codes.shape[0] - 1)],
+                   scales[jnp.clip(ids_w, 0, codes.shape[0] - 1)])
+    e_d2, e_ids = seed_entry(codes, scales, q, ep)
+    cur_d2, cur_ids = e_d2[:, 0], e_ids[:, 0]
+    for adj in adjs_above:  # ordered top layer first is irrelevant: strict
+        cur_d2, cur_ids = greedy_descent(
+            adj, codes, scales, q, cur_d2, cur_ids, forbid=ids_w
+        )
+    del ef, max_iters
+    return cur_d2[:, None], cur_ids[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "m", "max_iters"))
+def _wave_layer_step(
+    adj,
+    codes,
+    scales,
+    ids_w,
+    entry_d2,
+    entry_ids,
+    ef: int,
+    m: int,
+    max_iters: int,
+):
+    """One layer of the insertion pipeline for a whole wave
+    (``Inserter::traverse_layers_below`` body, ``inserter.rs:91-126``):
+    beam search with ``ef_cons`` then select_heuristic(m, extend=True,
+    keep_pruned=True). Returns (neighbors_d2 [W, m], neighbors_ids [W, m],
+    next-layer entry = the heuristic's selected set)."""
+    safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
+    q = dequantize(codes[safe], scales[safe])
+    beam_d2, beam_ids = search_layer(
+        adj, codes, scales, q, entry_d2, entry_ids, ef, max_iters, forbid=ids_w
+    )
+    sel_d2, sel_ids = select_heuristic(
+        adj, codes, scales, q, beam_d2, beam_ids, m,
+        extend_cands=True, keep_pruned=True, forbid=ids_w,
+    )
+    return sel_d2, sel_ids
+
+
+@jax.jit
+def _apply_wave(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
+    """Apply one wave's connections at one layer, functionally.
+
+    ``ids_w`` int32[W] (invalid lanes < 0), ``nbr_ids``/``nbr_d2`` [W, m]
+    heuristic output (PAD_ID/inf padded), ``indeg`` int32[N] running
+    in-degree of every node at this layer. Returns (new adjacency,
+    new indeg).
+
+    Connectivity invariants (replacing the reference's undirected
+    isolate_node protection, ``graph/src/graph.rs:85-94``, which refuses
+    to remove a node's last edge): (a) the union prune never evicts a
+    neighbor whose only in-edge is this row (``indeg == 1``); (b) a new
+    node dropped by *every* target's prune is force-written into its
+    nearest neighbor's worst slot. Without these, directed adjacency
+    slowly sheds reachability as later waves' reverse edges outcompete
+    earlier nodes.
+    """
+    n, cap = adj.shape
+    w, m = nbr_ids.shape
+    lane_valid = (ids_w >= 0)[:, None]
+    nbr_ok = jnp.logical_and(nbr_ids != PAD_ID, lane_valid)
+
+    # 1. own rows: heuristic neighbors, sentinel-padded to cap
+    own = jnp.where(nbr_ok, nbr_ids, SENTINEL)
+    if m < cap:
+        own = jnp.concatenate(
+            [own, jnp.full((w, cap - m), SENTINEL, jnp.int32)], axis=1
+        )
+    rows_idx = jnp.where(ids_w >= 0, ids_w, n)  # n = out-of-bounds -> drop
+    adj = adj.at[rows_idx].set(own[:, :cap], mode="drop")
+    # own rows are fresh (new nodes had empty rows): every target gains one
+    indeg = indeg.at[jnp.where(nbr_ok, nbr_ids, n)].add(1, mode="drop")
+
+    # 2. reverse edges, sort-based group-by-target
+    e = w * m
+    tgt = jnp.where(nbr_ok, nbr_ids, n).reshape(e)
+    src = jnp.broadcast_to(ids_w[:, None], (w, m)).reshape(e)
+    ed2 = jnp.where(nbr_ok, nbr_d2, INF).reshape(e)
+    tgt, ed2, src = jax.lax.sort((tgt, ed2, src), dimension=0, num_keys=3)
+    valid = tgt < n
+
+    first = jnp.concatenate(
+        [valid[:1], jnp.logical_and(valid[1:], tgt[1:] != tgt[:-1])]
+    )
+    idx = jnp.arange(e, dtype=jnp.int32)
+    grp_start = jax.lax.cummax(jnp.where(first, idx, -1))
+    pos = idx - grp_start  # rank of this edge within its target's run
+    # every per-target row below lives at the target's *first edge
+    # position* (grp_start), keeping ex/inc/new_rows/targets_u aligned
+    row_e = jnp.where(valid, grp_start, e)
+
+    slots = cap  # only the cap nearest incoming can ever survive the prune
+    inc_ids = jnp.full((e, slots), SENTINEL, jnp.int32)
+    inc_d2 = jnp.full((e, slots), INF, jnp.float32)
+    pos_c = jnp.where(pos < slots, pos, slots)  # overflow -> dropped
+    inc_ids = inc_ids.at[row_e, pos_c].set(src, mode="drop")
+    inc_d2 = inc_d2.at[row_e, pos_c].set(ed2, mode="drop")
+
+    targets_u = jnp.where(first, tgt, n)  # unique targets (others -> n)
+    ex = jnp.take(adj, targets_u, axis=0, mode="fill", fill_value=SENTINEL)
+    # distances target -> existing neighbors (recomputed; the reference
+    # recomputes them too in prune_connections, template.rs:224-230)
+    tsafe = jnp.clip(targets_u, 0, n - 1 if n else 0)
+    tvec = dequantize(codes[tsafe], scales[tsafe])  # [E, d]
+    exsafe = jnp.clip(ex, 0, codes.shape[0] - 1)
+    exvec = dequantize(codes[exsafe], scales[exsafe])  # [E, cap, d]
+    exd2 = jnp.sum((tvec[:, None, :] - exvec) ** 2, axis=-1)
+    exd2 = jnp.where(ex >= 0, exd2, INF)
+    # protected: this row holds that neighbor's only in-edge — evicting it
+    # would orphan the neighbor (isolate_node semantics)
+    ex_prot = jnp.logical_and(ex >= 0, jnp.take(indeg, exsafe) <= 1)
+
+    uni_ids = jnp.concatenate([jnp.where(ex >= 0, ex, PAD_ID),
+                               jnp.where(inc_ids >= 0, inc_ids, PAD_ID)], axis=1)
+    uni_d2 = jnp.concatenate([exd2, inc_d2], axis=1)
+    uni_prot = jnp.concatenate(
+        [ex_prot, jnp.zeros_like(inc_ids, dtype=bool)], axis=1
+    )
+    # sort protected entries first, then by (d2, id); keep the first cap
+    uni_d2, uni_ids = _prot_sort(uni_prot, uni_d2, uni_ids)
+    new_rows = jnp.where(uni_ids[:, :cap] == PAD_ID, SENTINEL, uni_ids[:, :cap])
+
+    # in-degree delta: -1 every surviving old entry, +1 every new entry
+    indeg = indeg.at[jnp.where(ex >= 0, ex, n)].add(-1, mode="drop")
+    indeg = indeg.at[jnp.where(new_rows >= 0, new_rows, n)].add(1, mode="drop")
+    adj = adj.at[targets_u].set(new_rows, mode="drop")
+
+    # 3. orphan repair. Two cases slip past the indeg<=1 protection: a new
+    # node whose reverse edge lost *every* target's prune, and an old node
+    # whose two in-edges were evicted by two different rows pruned in the
+    # same wave (each saw indeg == 2). Any connected node (outdeg > 0)
+    # with indeg == 0 is force-written into its nearest out-neighbor's
+    # worst slot — one edge each, ranked to avoid slot collisions.
+    outdeg = jnp.sum(adj >= 0, axis=1)
+    orphan = jnp.logical_and(outdeg > 0, indeg == 0)
+    tfix = jnp.where(orphan, adj[:, 0], n)  # slot 0 = nearest (rows sorted)
+    all_ids = jnp.arange(n, dtype=jnp.int32)
+    tfix_s, src_s = jax.lax.sort((tfix, all_ids), dimension=0, num_keys=1)
+    ffirst = jnp.concatenate(
+        [tfix_s[:1] < n, jnp.logical_and(tfix_s[1:] < n, tfix_s[1:] != tfix_s[:-1])]
+    )
+    frank = all_ids - jax.lax.cummax(jnp.where(ffirst, all_ids, -1))
+    fslot = cap - 1 - jnp.clip(frank, 0, cap - 1)
+    f_ok = jnp.logical_and(tfix_s < n, frank < cap)
+    frow = jnp.where(f_ok, tfix_s, n)
+    evicted = adj[jnp.clip(frow, 0, n - 1), fslot]
+    evicted = jnp.where(jnp.logical_and(f_ok, evicted >= 0), evicted, n)
+    indeg = indeg.at[evicted].add(-1, mode="drop")
+    adj = adj.at[frow, fslot].set(
+        jnp.where(f_ok, src_s, SENTINEL), mode="drop"
+    )
+    indeg = indeg.at[jnp.where(f_ok, src_s, n)].add(1, mode="drop")
+    return adj, indeg
+
+
+def _prot_sort(prot, d2, ids):
+    """Three-key sort: protected-first, then (d2 asc, id asc)."""
+    key0 = jnp.where(prot, jnp.int32(0), jnp.int32(1))
+    _, sd2, sids = jax.lax.sort((key0, d2, ids), dimension=-1, num_keys=3)
+    return sd2, sids
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+
+
+def insert_waves(
+    graph: LayeredGraph,
+    store: PointStore,
+    params: Params,
+    home_ids: np.ndarray,
+    layer_nb: int,
+    ep: int,
+    max_iters: int,
+    bar: ProgressBar | None = None,
+    wave_base: int = 16,
+    wave_growth: float = 0.5,
+    wave_cap: int = 4096,
+) -> None:
+    """Insert ``home_ids`` (all of level == layer_nb) wave by wave.
+
+    Mutates ``graph`` in place (functionally replacing its layer arrays).
+    The per-layer analogue of the thread fan-out at
+    ``template.rs:403-440``.
+    """
+    codes, scales = store.codes, store.scales
+    nlayers = len(graph)
+    ep_dev = jnp.asarray(ep, jnp.int32)
+    off = 0
+    for wsize in wave_schedule(len(home_ids), wave_base, wave_growth, wave_cap):
+        wave = home_ids[off : off + wsize]
+        off += wsize
+        wpad = _bucket(wsize)
+        ids_w = np.full((wpad,), -1, np.int32)
+        ids_w[:wsize] = wave
+        ids_w = jnp.asarray(ids_w)
+
+        adjs_above = tuple(
+            graph.get_layer(l) for l in range(nlayers - 1, layer_nb, -1)
+        )
+        entry_d2, entry_ids = _wave_search_above(
+            adjs_above, codes, scales, ids_w, ep_dev,
+            ef=1, max_iters=max_iters, nlayers_above=len(adjs_above),
+        )
+        # traverse home layer down to 0 (inserter.rs:91-126), collecting
+        # the connections, then apply them all
+        results = []
+        for lam in range(layer_nb, -1, -1):
+            sel_d2, sel_ids = _wave_layer_step(
+                graph.get_layer(lam), codes, scales, ids_w,
+                entry_d2, entry_ids,
+                ef=params.ef_cons, m=params.m, max_iters=max_iters,
+            )
+            results.append((lam, sel_d2, sel_ids))
+            entry_d2, entry_ids = sel_d2, sel_ids
+        for lam, sel_d2, sel_ids in results:
+            new_adj, new_indeg = _apply_wave(
+                graph.get_layer(lam), graph.indeg(lam), codes, scales,
+                ids_w, sel_d2, sel_ids,
+            )
+            graph.set_layer(lam, new_adj, new_indeg)
+        if bar is not None:
+            bar.inc(wsize)
+
+
+def build_index(
+    store: PointStore,
+    params: Params,
+    verbose: bool = False,
+    max_iters: int | None = None,
+    wave_base: int = 16,
+    wave_growth: float = 0.5,
+    wave_cap: int = 4096,
+) -> tuple[LayeredGraph, int]:
+    """Build the full layered graph for ``store`` (``insert_bulk``,
+    ``template.rs:388-445``): per layer top-down, wave-insert that layer's
+    home nodes. Returns (graph, entry_point)."""
+    n = len(store)
+    levels = store.levels
+    top = int(levels.max()) if n else 0
+    graph = LayeredGraph(params.m, n)
+    graph.ensure_level(top)
+    # EP: a node of the top layer (the reference picks an arbitrary one,
+    # template.rs:283-284; we pick the first for determinism)
+    ep = int(np.flatnonzero(levels == top)[0]) if n else 0
+    if max_iters is None:
+        max_iters = 2 * params.ef_cons + 16
+    bar = ProgressBar("building HNSW index", n, enabled=verbose)
+    for layer_nb in range(top, -1, -1):
+        home = np.flatnonzero(levels == layer_nb).astype(np.int32)
+        insert_waves(
+            graph, store, params, home, layer_nb, ep, max_iters, bar,
+            wave_base, wave_growth, wave_cap,
+        )
+    bar.finish()
+    return graph, ep

@@ -79,6 +79,7 @@ class LayeredGraph:
         self.m = int(m)
         self.n = int(n)
         self.adjs: list[jnp.ndarray] = []
+        self._indegs: list[jnp.ndarray | None] = []
 
     # -- structure ---------------------------------------------------------
 
@@ -95,6 +96,7 @@ class LayeredGraph:
         (``Layers::add_level``, ``graph/src/layers.rs:48-59``)."""
         while len(self.adjs) <= level:
             self.adjs.append(empty_adjacency(self.n, self.layer_cap(len(self.adjs))))
+            self._indegs.append(jnp.zeros((self.n,), jnp.int32))
 
     def ensure_nodes(self, n: int) -> None:
         """Grow every layer's row space to at least ``n`` rows."""
@@ -105,6 +107,13 @@ class LayeredGraph:
             pad = jnp.full((n - adj.shape[0], adj.shape[1]), SENTINEL, jnp.int32)
             grown.append(jnp.concatenate([adj, pad], axis=0))
         self.adjs = grown
+        # new rows are empty, so cached in-degrees stay valid zero-padded
+        self._indegs = [
+            None if d is None else jnp.concatenate(
+                [d, jnp.zeros((n - d.shape[0],), jnp.int32)]
+            )
+            for d in self._indegs
+        ]
         self.n = n
 
     def get_layer(self, layer_nb: int) -> jnp.ndarray:
@@ -112,8 +121,26 @@ class LayeredGraph:
             raise IndexError(f"layer {layer_nb} not found")
         return self.adjs[layer_nb]
 
-    def set_layer(self, layer_nb: int, adj: jnp.ndarray) -> None:
+    def set_layer(
+        self, layer_nb: int, adj: jnp.ndarray, indeg: jnp.ndarray | None = None
+    ) -> None:
+        """Replace a layer's adjacency (and optionally its known in-degree
+        vector; pass None to invalidate the cache)."""
         self.adjs[layer_nb] = adj
+        self._indegs[layer_nb] = indeg
+
+    def indeg(self, layer_nb: int) -> jnp.ndarray:
+        """In-degree of every node at a layer (cached; recomputed with one
+        scatter-add when a compat mutation invalidated it). Needed by the
+        builder's isolate-protection (see ``build._apply_wave``)."""
+        if self._indegs[layer_nb] is None:
+            adj = self.adjs[layer_nb]
+            n = adj.shape[0]
+            flat = jnp.where(adj >= 0, adj, n).reshape(-1)
+            self._indegs[layer_nb] = (
+                jnp.zeros((n,), jnp.int32).at[flat].add(1, mode="drop")
+            )
+        return self._indegs[layer_nb]
 
     # -- compat per-edge API (tests / small updates; undirected like the
     # -- reference's Graph, graph/src/graph.rs:37-52) ----------------------
@@ -133,6 +160,7 @@ class LayeredGraph:
         adj = adj.at[a].set(row_insert(adj[a], b))
         adj = adj.at[b].set(row_insert(adj[b], a))
         self.adjs[layer_nb] = adj
+        self._indegs[layer_nb] = None
 
     def remove_edge(self, layer_nb: int, a: int, b: int) -> None:
         """Undirected edge removal (``graph/src/graph.rs:72-83``)."""
@@ -142,6 +170,7 @@ class LayeredGraph:
         adj = adj.at[a].set(row_remove(adj[a], b))
         adj = adj.at[b].set(row_remove(adj[b], a))
         self.adjs[layer_nb] = adj
+        self._indegs[layer_nb] = None
 
     def neighbors(self, layer_nb: int, node: int) -> np.ndarray:
         """Valid neighbor ids of ``node`` (``graph/src/graph.rs:96-125``)."""
@@ -163,6 +192,7 @@ class LayeredGraph:
         uniq = [int(x) for x in dict.fromkeys(int(v) for v in new_neighbors) if int(x) >= 0]
         new[: min(len(uniq), cap)] = uniq[:cap]
         self.adjs[layer_nb] = adj.at[node].set(jnp.asarray(new))
+        self._indegs[layer_nb] = None
 
     # -- introspection -----------------------------------------------------
 

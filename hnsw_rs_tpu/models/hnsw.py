@@ -1,0 +1,314 @@
+"""The HNSW index — public API parity with the reference's ``HNSW`` struct
+(``hnsw/src/template.rs:36-40``): ``new``/``insert_bulk``/``insert_vec``/
+``ann_by_vector``/``save``/``load``/``len``/``distance``/``get_point``/
+``print_index``/``assert_param_compliance``/``layer_degrees`` — built on
+the TPU-native core (dense adjacency + lockstep batched traversal).
+
+State is a pytree of device arrays (codes, scales, per-layer adjacency)
+plus host metadata (levels, params); queries run as one jitted batched
+pipeline (``search.ann_search``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..build import build_index, insert_waves
+from ..errors import DimensionMismatch
+from ..graphs import LayeredGraph, degrees
+from ..ops.quant import dequantize, quantize
+from ..params import Params
+from ..search import ann_search
+from ..store import PointStore, sample_levels
+from ..utils.progress import ProgressBar
+
+
+@dataclasses.dataclass
+class Point:
+    """View of a stored point (the reference's ``Point``,
+    ``points/src/point.rs:5-10``)."""
+
+    id: int
+    level: int
+    values: np.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "k", "max_iters"))
+def _ann_jit(adjs, codes, scales, q, ep, ef, k, max_iters):
+    return ann_search(adjs, codes, scales, q, ep, ef, k, max_iters)
+
+
+class HNSW:
+    """Hierarchical Navigable Small World index on TPU."""
+
+    def __init__(
+        self,
+        m: int,
+        ef_cons: int | None = None,
+        dim: int = 0,
+        params: Params | None = None,
+    ):
+        if params is None:
+            if ef_cons is not None:
+                params = Params.from_m_efcons(m, ef_cons, dim)
+            else:
+                params = Params.from_m(m, dim)
+        self.params = params
+        self.points = PointStore.empty(params.dim)
+        self.graph = LayeredGraph(params.m, 0)
+        self._level_rng_calls = 0  # deterministic level stream position
+
+    # -- basics ------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+    @property
+    def ep(self) -> int:
+        return self.params.ep
+
+    def distance(self, a: int, b: int) -> float:
+        """True L2 between stored points (``template.rs:150-152``)."""
+        return self.points.distance(a, b)
+
+    def get_point(self, point_id: int) -> Point | None:
+        if point_id < 0 or point_id >= len(self):
+            return None
+        return Point(
+            id=point_id,
+            level=int(self.points.levels[point_id]),
+            values=self.points.get_values(point_id),
+        )
+
+    def _check_dim(self, vectors: np.ndarray) -> None:
+        d = vectors.shape[-1]
+        if self.params.dim and d != self.params.dim:
+            raise DimensionMismatch(
+                f"index dimension is {self.params.dim}, got vectors of dimension {d}"
+            )
+
+    # -- construction ------------------------------------------------------
+
+    def insert_bulk(
+        self,
+        vectors: np.ndarray,
+        verbose: bool = False,
+        **build_kwargs,
+    ) -> "HNSW":
+        """Bulk build / bulk extend (``insert_bulk``, ``template.rs:388-445``).
+
+        On an empty index this is a from-scratch wave-parallel build; on a
+        non-empty index the new points are wave-inserted per layer
+        top-down. Returns self.
+        """
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        self._check_dim(vectors)
+        if self.params.dim == 0:
+            self.params.dim = int(vectors.shape[-1])
+            self.points = PointStore.empty(self.params.dim)
+        fresh = len(self) == 0
+        new = PointStore.from_vectors(
+            vectors, self.params.ml, seed=self._level_seed()
+        )
+        new_ids = self.points.extend(new)
+        if fresh:
+            self.graph, ep = build_index(
+                self.points, self.params, verbose=verbose, **build_kwargs
+            )
+            self.params.ep = ep
+        else:
+            self._extend_built(new_ids, verbose=verbose, **build_kwargs)
+        return self
+
+    def insert_vec(self, vector: np.ndarray) -> int:
+        """Incremental single-vector insert (``insert_vec``,
+        ``template.rs:165-173``). Returns the new point id."""
+        vector = np.asarray(vector, np.float32).reshape(1, -1)
+        self._check_dim(vector)
+        if self.params.dim == 0:
+            self.params.dim = int(vector.shape[-1])
+            self.points = PointStore.empty(self.params.dim)
+        new = PointStore.from_vectors(vector, self.params.ml, seed=self._level_seed())
+        new_ids = self.points.extend(new)
+        if len(self) == 1:  # first point: becomes EP, no edges to make
+            level = int(self.points.levels[0])
+            self.graph = LayeredGraph(self.params.m, 1)
+            self.graph.ensure_level(level)
+            self.params.ep = 0
+            return 0
+        self._extend_built(new_ids, verbose=False)
+        return int(new_ids[0])
+
+    def _level_seed(self) -> int:
+        # distinct deterministic seed per store call; the reference reuses
+        # seed 0 every call (points/src/points.rs:40) which makes every
+        # incremental insert draw the *same* level — we keep determinism
+        # but advance the stream
+        s = self._level_rng_calls
+        self._level_rng_calls += 1
+        return s
+
+    def _extend_built(self, new_ids: np.ndarray, verbose: bool, **build_kwargs) -> None:
+        """Wave-insert new points into an existing graph, per layer
+        top-down, and fix up the entry point if a new point exceeds the old
+        top level (the reference leaves that dangling — TODO at
+        ``template.rs:285-289``; we connect it properly)."""
+        levels = self.points.levels
+        old_top = len(self.graph) - 1
+        new_top = int(levels[new_ids].max())
+        self.graph.ensure_nodes(len(self))
+        self.graph.ensure_level(max(old_top, new_top))
+        max_iters = build_kwargs.pop("max_iters", None) or 2 * self.params.ef_cons + 16
+        bar = ProgressBar("inserting", len(new_ids), enabled=verbose)
+        new_lv = levels[new_ids]
+        for layer_nb in range(int(new_lv.max()), -1, -1):
+            home = np.asarray(new_ids)[new_lv == layer_nb].astype(np.int32)
+            if home.size == 0:
+                continue
+            insert_waves(
+                self.graph, self.points, self.params, home, layer_nb,
+                self.params.ep, max_iters, bar, **build_kwargs,
+            )
+        bar.finish()
+        if new_top > old_top:
+            self.params.ep = int(new_ids[np.argmax(new_lv)])
+
+    # -- queries -----------------------------------------------------------
+
+    def ann_by_vector(
+        self, vector: np.ndarray, n: int, ef: int
+    ) -> np.ndarray:
+        """Top-n approximate neighbors of one query
+        (``ann_by_vector``, ``template.rs:306-335``)."""
+        return self.ann_batch(np.asarray(vector, np.float32)[None, :], n, ef)[1][0]
+
+    def ann_batch(
+        self,
+        queries: np.ndarray,
+        n: int,
+        ef: int,
+        max_iters: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched queries — the TPU-native serving path. Returns
+        (distances [B, n], ids [B, n])."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        self._check_dim(queries)
+        ef = max(ef, n)
+        if max_iters is None:
+            max_iters = 2 * ef + 16
+        # queries are quantized then dequantized: the index lives in
+        # quantized space (template.rs:313)
+        qc, qs = quantize(jnp.asarray(queries))
+        q = dequantize(qc, qs)
+        d, i = _ann_jit(
+            tuple(self.graph.adjs), self.points.codes, self.points.scales,
+            q, jnp.asarray(self.params.ep, jnp.int32), ef, n, max_iters,
+        )
+        return np.asarray(d), np.asarray(i)
+
+    # -- introspection -----------------------------------------------------
+
+    def layer_degrees(self, layer_nb: int) -> np.ndarray:
+        """Out-degrees of the layer's member nodes
+        (``template.rs:158-163``)."""
+        return self.graph.layer_degrees(layer_nb, self.points.levels)
+
+    def assert_param_compliance(self, verbose: bool = True) -> bool:
+        """Degree caps respected and no isolated member nodes
+        (``assert_param_compliance``, ``template.rs:341-370``)."""
+        ok = True
+        for layer_nb in range(len(self.graph)):
+            cap = self.params.layer_cap(layer_nb)
+            adj = np.asarray(self.graph.get_layer(layer_nb))
+            degs = np.asarray(degrees(self.graph.get_layer(layer_nb)))
+            member = self.points.levels >= layer_nb
+            if np.any(degs[member] > cap):
+                ok = False
+                if verbose:
+                    print(f"layer {layer_nb}: degree cap {cap} exceeded")
+            if int(member.sum()) > 1 and np.any(degs[member] == 0):
+                ok = False
+                if verbose:
+                    bad = np.flatnonzero(member & (degs == 0))
+                    print(f"layer {layer_nb}: {bad.size} isolated nodes {bad[:10]}")
+            # in-degree: our adjacency is directed, so the reference's
+            # undirected min-degree >= 1 check (template.rs:356-367) means
+            # both out-degree and in-degree must be nonzero
+            if int(member.sum()) > 1:
+                indeg = np.bincount(adj[adj >= 0], minlength=len(self))
+                if np.any(indeg[member] == 0):
+                    ok = False
+                    if verbose:
+                        bad = np.flatnonzero(member & (indeg == 0))
+                        print(
+                            f"layer {layer_nb}: {bad.size} nodes with "
+                            f"in-degree 0 {bad[:10]}"
+                        )
+        if ok and verbose:
+            print("Index complies with params.")
+        return ok
+
+    def print_index(self) -> None:
+        """Dump index stats (``print_index``, ``template.rs:372-385``)."""
+        p = self.params
+        print(f"m = {p.m}\nmmax = {p.mmax}\nmmax0 = {p.mmax0}")
+        print(f"ml = {p.ml}\nef_cons = {p.ef_cons}")
+        print(f"Nb. layers = {len(self.graph)}")
+        print(f"Nb. of points = {len(self)}")
+        for idx in range(len(self.graph)):
+            print(f"Nb. nodes in layer {idx}: {self.graph.nb_nodes(idx, self.points.levels)}")
+        print(f"ep: {p.ep}")
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint to a directory: ``params.json`` + ``arrays.npz``
+        (the analogue of the reference's points/params/layers directory
+        format, ``template.rs:43-73``)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(
+                {
+                    "format": "hnsw_rs_tpu.v1",
+                    "params": self.params.to_dict(),
+                    "n_layers": len(self.graph),
+                    "level_rng_calls": self._level_rng_calls,
+                },
+                f,
+                indent=2,
+            )
+        arrays = {
+            "codes": np.asarray(self.points.codes),
+            "scales": np.asarray(self.points.scales),
+            "levels": np.asarray(self.points.levels),
+        }
+        for i in range(len(self.graph)):
+            arrays[f"adj_{i}"] = np.asarray(self.graph.get_layer(i))
+        np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "HNSW":
+        """Restore from :meth:`save` (``template.rs:75-131``)."""
+        with open(os.path.join(path, "params.json")) as f:
+            meta = json.load(f)
+        if meta.get("format") != "hnsw_rs_tpu.v1":
+            raise ValueError(f"unknown index format in {path}")
+        params = Params.from_dict(meta["params"])
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            codes = jnp.asarray(z["codes"])
+            scales = jnp.asarray(z["scales"])
+            levels = np.asarray(z["levels"])
+            adjs = [jnp.asarray(z[f"adj_{i}"]) for i in range(meta["n_layers"])]
+        index = cls(params.m, params=params)
+        index.points = PointStore(codes, scales, levels)
+        index.graph = LayeredGraph(params.m, codes.shape[0])
+        index.graph.adjs = adjs
+        index._level_rng_calls = int(meta.get("level_rng_calls", 1))
+        return index

@@ -1,0 +1,109 @@
+"""Index integration tests (mirroring ``hnsw/src/template.rs:447-611``):
+init, build, insert-after-build, double bulk build, dim-mismatch raise,
+save/load round-trip, and graph invariants."""
+
+import numpy as np
+import pytest
+
+from hnsw_rs_tpu import HNSW
+from hnsw_rs_tpu.errors import DimensionMismatch
+from hnsw_rs_tpu.utils import gen_rand_vecs
+
+DIM = 10
+N = 100
+M = 12
+
+
+def test_hnsw_init():
+    HNSW(12, dim=128)
+
+
+def test_hnsw_build():
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=0))
+    assert len(index) == N
+    assert index.assert_param_compliance(verbose=True)
+
+
+def test_hnsw_insert_one_after_build():
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=1))
+    index.insert_vec(gen_rand_vecs(1, DIM, seed=2)[0])
+    assert len(index) == N + 1
+    # the new point must be reachable
+    v = index.get_point(N).values
+    ids = index.ann_by_vector(v, 1, 50)
+    assert int(ids[0]) == N
+
+
+def test_hnsw_insert_many_after_build():
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=3))
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=4))
+    assert len(index) == 2 * N
+    assert index.assert_param_compliance(verbose=False)
+
+
+def test_can_not_add_different_dim():
+    index = HNSW(12, dim=128)
+    index.insert_bulk(gen_rand_vecs(10, 128, seed=5))
+    with pytest.raises(DimensionMismatch):
+        index.insert_bulk(gen_rand_vecs(10, 512, seed=6))
+
+
+def test_insert_from_empty_incrementally():
+    index = HNSW(8, dim=DIM)
+    vecs = gen_rand_vecs(20, DIM, seed=7)
+    for v in vecs:
+        index.insert_vec(v)
+    assert len(index) == 20
+    # every point should find itself as its own nearest neighbor
+    for i in (0, 7, 19):
+        ids = index.ann_by_vector(vecs[i], 1, 30)
+        got = index.get_point(int(ids[0])).values
+        want = index.get_point(i).values
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_query_self_recall():
+    # every stored point's nearest neighbor (itself) must be found
+    index = HNSW(M, dim=DIM)
+    vecs = gen_rand_vecs(N, DIM, seed=8)
+    index.insert_bulk(vecs)
+    _, ids = index.ann_batch(vecs, 1, ef=30)
+    hit = np.mean(ids[:, 0] == np.arange(N))
+    assert hit > 0.97, f"self-recall {hit}"
+
+
+def test_save_load_roundtrip(tmp_path):
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=9))
+    p = str(tmp_path / "idx")
+    index.save(p)
+    loaded = HNSW.load(p)
+    assert len(loaded) == N
+    assert loaded.params.to_dict() == index.params.to_dict()
+    for i in range(0, N, 7):
+        np.testing.assert_array_equal(
+            np.asarray(loaded.graph.get_layer(0)[i]),
+            np.asarray(index.graph.get_layer(0)[i]),
+        )
+        np.testing.assert_array_equal(
+            loaded.get_point(i).values, index.get_point(i).values
+        )
+    # loaded index answers queries identically
+    q = gen_rand_vecs(5, DIM, seed=10)
+    np.testing.assert_array_equal(
+        index.ann_batch(q, 5, 40)[1], loaded.ann_batch(q, 5, 40)[1]
+    )
+
+
+def test_degrees_and_print(capsys):
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=11))
+    degs = index.layer_degrees(0)
+    assert degs.shape[0] == N
+    assert np.all(degs >= 1) and np.all(degs <= index.params.mmax0)
+    index.print_index()
+    out = capsys.readouterr().out
+    assert f"Nb. of points = {N}" in out
