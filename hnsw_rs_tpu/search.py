@@ -103,8 +103,11 @@ def greedy_descent(
     def cond(state):
         return jnp.any(state[2])
 
+    # init `moved` as all-True *derived from the carry* (not a fresh
+    # constant) so its varying-axes type matches the body output when the
+    # loop runs inside shard_map
     cur_d2, cur_ids, _ = jax.lax.while_loop(
-        cond, body, (cur_d2, cur_ids, jnp.ones(cur_d2.shape, bool))
+        cond, body, (cur_d2, cur_ids, cur_ids == cur_ids)
     )
     del max_iters
     return cur_d2, cur_ids
