@@ -1,0 +1,124 @@
+"""GloVe evaluation CLI — the ``eval_glove`` binary equivalent
+(``eval_glove/src/main.rs:17-121``), grown up: timed bulk build, one
+incremental insert, recall/QPS sweep over ef values against on-device
+brute force, optional save/load round-trip timing, reference-format
+import, and the interactive nearest-word REPL the reference left
+commented out (``main.rs:102-121``).
+
+Run: ``python -m hnsw_rs_tpu.eval_glove [--store F] [--m 12] [--ef 50 100]``
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from .models.hnsw import HNSW
+from .utils.args import eval_parser
+from .utils.glove import brute_force_nns, load_glove_array
+from .utils.logging import get_logger
+
+log = get_logger("eval_glove")
+
+
+def recall_at_k(ann: np.ndarray, truth: np.ndarray, k: int) -> float:
+    return float(
+        np.mean([len(set(a[:k]) & set(t[:k])) / k for a, t in zip(ann, truth)])
+    )
+
+
+def main(argv=None) -> int:
+    args = eval_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    verbose = not args.quiet
+
+    words, stored = load_glove_array(args.store, args.lim, verbose=verbose)
+    qpath = args.queries or args.store
+    qwords, queries = load_glove_array(qpath, args.lim, verbose=verbose)
+    log.info("loaded %d stored / %d query vectors (dim %d)",
+             len(stored), len(queries), stored.shape[1])
+
+    if args.load:
+        t0 = time.time()
+        index = HNSW.load(args.load)
+        log.info("loaded index from %s in %.2fs", args.load, time.time() - t0)
+    elif args.import_reference:
+        from .utils.serializer import import_reference_index
+
+        t0 = time.time()
+        index = import_reference_index(args.import_reference)
+        log.info("imported reference index from %s in %.2fs",
+                 args.import_reference, time.time() - t0)
+    else:
+        index = HNSW(args.m, ef_cons=args.ef_cons, dim=stored.shape[1])
+        t0 = time.time()
+        index.insert_bulk(stored, verbose=verbose)
+        np.asarray(index.graph.get_layer(0))  # force async build completion
+        dt = time.time() - t0
+        log.info("built index: %d vectors in %.2fs (%.0f vec/s, includes "
+                 "compilation)", len(index), dt, len(index) / dt)
+        # one incremental insert, like the reference binary (main.rs:40)
+        index.insert_vec(stored[0])
+        log.info("insert_vec -> id %d (len %d)", len(index) - 1, len(index))
+
+    index.print_index()
+
+    truth = brute_force_nns(
+        queries, index.points.codes, index.points.scales, args.k
+    )
+    print(f"\n ef    recall@{args.k}   QPS")
+    batch = args.batch or len(queries)
+    reps = max(1, -(-batch // len(queries)))
+    big = np.tile(queries, (reps, 1))[:batch]
+    for ef in args.ef:
+        _, ann = index.ann_batch(queries, args.k, ef)
+        rec = recall_at_k(ann, truth, args.k)
+        index.ann_batch(big, args.k, ef)  # warm/compile for this batch
+        t0 = time.time()
+        iters = 0
+        while time.time() - t0 < 1.0:
+            index.ann_batch(big, args.k, ef)
+            iters += 1
+        qps = batch * iters / (time.time() - t0)
+        print(f"{ef:4d}   {rec:.4f}   {qps:10.0f}")
+
+    if args.save:
+        t0 = time.time()
+        index.save(args.save)
+        log.info("saved to %s in %.2fs", args.save, time.time() - t0)
+        t0 = time.time()
+        HNSW.load(args.save)
+        log.info("reloaded in %.2fs", time.time() - t0)
+
+    index.assert_param_compliance(verbose=verbose)
+
+    if args.words:
+        show_nn_words(index, words, args.k)
+    return 0
+
+
+def show_nn_words(index: HNSW, words: list[str], k: int) -> None:
+    """Interactive nearest-word REPL (``show_nn_words``,
+    ``eval_glove/src/main.rs:102-121``)."""
+    by_word = {w: i for i, w in enumerate(words)}
+    print("type a word (empty line to quit):")
+    for line in sys.stdin:
+        w = line.strip()
+        if not w:
+            break
+        if w not in by_word:
+            print(f"  {w!r} not in vocabulary")
+            continue
+        v = index.get_point(by_word[w]).values
+        ids = index.ann_by_vector(v, k + 1, ef=1000)
+        names = [words[i] for i in ids if i != by_word[w]][:k]
+        print(f"  {w}: {', '.join(names)}")
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
