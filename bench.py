@@ -54,12 +54,12 @@ def main() -> None:
     truth = brute_force_nns(queries, index.points.codes, index.points.scales, k)
 
     adjs = tuple(index.graph.adjs)
-    codes, scales = index.points.codes, index.points.scales
+    codes, scales = index._serving_table(), index.points.scales
     ep = jnp.asarray(index.params.ep, jnp.int32)
 
     # smallest ef from the sweep that clears the 0.99 recall gate
     chosen = None
-    for ef in (24, 32, 48, 64, 100):
+    for ef in (24, 32, 40, 48, 64, 100):
         _, ann = index.ann_batch(queries, k, ef)
         recall = np.mean([len(set(a) & set(b)) / k for a, b in zip(ann, truth)])
         if recall >= 0.99:

@@ -64,6 +64,10 @@ class HNSW:
         self.points = PointStore.empty(params.dim)
         self.graph = LayeredGraph(params.m, 0)
         self._level_rng_calls = 0  # deterministic level stream position
+        # serving-path dequantized table cache (see search._gather_vecs);
+        # auto-enabled while the f32 copy stays under this many bytes
+        self.f32_cache_limit = 2 << 30
+        self._f32_table = None
 
     # -- basics ------------------------------------------------------------
 
@@ -207,11 +211,22 @@ class HNSW:
         # quantized space (template.rs:313)
         qc, qs = quantize(jnp.asarray(queries))
         q = dequantize(qc, qs)
+        table = self._serving_table()
         d, i = _ann_jit(
-            tuple(self.graph.adjs), self.points.codes, self.points.scales,
+            tuple(self.graph.adjs), table, self.points.scales,
             q, jnp.asarray(self.params.ep, jnp.int32), ef, n, max_iters,
         )
         return np.asarray(d), np.asarray(i)
+
+    def _serving_table(self) -> "jnp.ndarray":
+        """uint8 codes, or the cached dequantized f32 table when it fits
+        (identical distances — dequantization is exact either way)."""
+        nbytes = len(self) * max(self.params.dim, 1) * 4
+        if nbytes > self.f32_cache_limit:
+            return self.points.codes
+        if self._f32_table is None or self._f32_table.shape[0] != len(self):
+            self._f32_table = dequantize(self.points.codes, self.points.scales)
+        return self._f32_table
 
     # -- introspection -----------------------------------------------------
 

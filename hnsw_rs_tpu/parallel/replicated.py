@@ -28,7 +28,7 @@ class ReplicatedHNSW:
         self.adjs = tuple(
             jax.device_put(a, rep) for a in index.graph.adjs
         )
-        self.codes = jax.device_put(index.points.codes, rep)
+        self.codes = jax.device_put(index._serving_table(), rep)
         self.scales = jax.device_put(index.points.scales, rep)
         self.ep = jax.device_put(
             jnp.asarray(index.params.ep, jnp.int32), rep
