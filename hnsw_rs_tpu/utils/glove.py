@@ -22,8 +22,15 @@ def load_glove_array(
     """Load up to ``limit`` rows (0 = all) of a GloVe text file.
 
     Returns (words, float32[N, d]). Raises on ragged rows like the
-    reference (``glove.rs:56-65``).
+    reference (``glove.rs:56-65``). Uses the native C++ parser
+    (``native/fastio.cpp``) when available; pure-Python fallback below.
     """
+    from ..native import load_glove_native
+
+    native = load_glove_native(path, limit)
+    if native is not None:
+        return native
+
     words: list[str] = []
     vecs: list[np.ndarray] = []
     dim = None

@@ -1,0 +1,71 @@
+"""Native C++ host runtime: GloVe parser and pread block IO vs the pure
+Python implementations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import TEST_DATA
+from hnsw_rs_tpu.native import get_lib, load_glove_native, pread_block
+
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native toolchain unavailable"
+)
+
+
+def python_load(path, limit=0):
+    words, vecs = [], []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if limit and i >= limit:
+                break
+            parts = line.rstrip("\n").split(" ")
+            words.append(parts[0])
+            vecs.append(np.asarray(parts[1:], np.float32))
+    return words, np.stack(vecs)
+
+
+def test_native_glove_matches_python():
+    path = os.path.join(TEST_DATA, "store.txt")
+    pw, pv = python_load(path)
+    nw, nv = load_glove_native(path)
+    assert nw == pw
+    assert nv.shape == pv.shape
+    np.testing.assert_allclose(nv, pv, rtol=0, atol=2e-6)
+
+
+def test_native_glove_limit():
+    path = os.path.join(TEST_DATA, "store.txt")
+    nw, nv = load_glove_native(path, limit=17)
+    assert len(nw) == 17 and nv.shape[0] == 17
+
+
+def test_native_ragged_raises(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("a 1.0 2.0\nb 1.0\n")
+    with pytest.raises(ValueError):
+        load_glove_native(str(p))
+
+
+def test_pread_block(tmp_path):
+    p = tmp_path / "blob"
+    data = np.arange(256, dtype=np.uint8)
+    p.write_bytes(data.tobytes())
+    got = pread_block(str(p), 100, 32)
+    np.testing.assert_array_equal(got, data[100:132])
+
+
+def test_native_speedup():
+    path = os.path.join(TEST_DATA, "store.txt")
+    import time
+
+    t0 = time.perf_counter()
+    python_load(path)
+    py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    load_glove_native(path)
+    nat = time.perf_counter() - t0
+    # not a strict perf gate, just a sanity ratio
+    assert nat < py, f"native {nat:.4f}s not faster than python {py:.4f}s"

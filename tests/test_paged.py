@@ -1,0 +1,62 @@
+"""Paged block store: codec round-trip, arithmetic id lookup, LRU cache,
+and out-of-core streaming exact search vs the in-memory oracle (completes
+the reference's WIP disk path, ``hnsw/src/disk.rs`` /
+``points/src/points/block_points.rs``)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hnsw_rs_tpu.ops import dequantize, quantize
+from hnsw_rs_tpu.store import PointStore, sample_levels
+from hnsw_rs_tpu.store_paged import MAX_PER_BLOCK, BlockStore, write_block_store
+from hnsw_rs_tpu.utils import brute_force_nns, gen_rand_vecs
+
+
+def make_store(tmp_path, n=100, d=16, seed=0):
+    vecs = gen_rand_vecs(n, d, seed=seed)
+    codes, scales = (np.asarray(x) for x in quantize(jnp.asarray(vecs)))
+    levels = sample_levels(n, 0.4, seed=seed)
+    path = str(tmp_path / "store.blocks")
+    write_block_store(path, codes, scales, levels)
+    return path, codes, scales, levels
+
+
+def test_roundtrip_every_point(tmp_path):
+    path, codes, scales, levels = make_store(tmp_path, n=77)  # ragged last block
+    bs = BlockStore(path, cache_blocks=2)
+    assert len(bs) == 77
+    assert bs.nb_blocks == -(-77 // MAX_PER_BLOCK)
+    for i in range(77):
+        c, s, lv = bs.get_point(i)
+        np.testing.assert_array_equal(c, codes[i])
+        np.testing.assert_allclose(s, scales[i])
+        assert lv == levels[i]
+    assert bs.get_point(77) is None
+    # dequantized value accuracy (block/data.rs:107-108 asserts <5%; ours
+    # is bit-exact because min/delta are stored verbatim)
+    want = np.asarray(dequantize(jnp.asarray(codes[5]), jnp.asarray(scales[5])))
+    np.testing.assert_allclose(bs.get_values(5), want, rtol=1e-6)
+
+
+def test_chunk_iteration_covers_all(tmp_path):
+    path, codes, _, _ = make_store(tmp_path, n=200)
+    bs = BlockStore(path)
+    seen = 0
+    for c, s, start in bs.iter_chunks(chunk_blocks=3):
+        assert start == seen
+        np.testing.assert_array_equal(c, codes[seen : seen + c.shape[0]])
+        seen += c.shape[0]
+    assert seen == 200
+
+
+def test_streaming_search_matches_in_memory(tmp_path):
+    n, d = 300, 12
+    vecs = gen_rand_vecs(n, d, seed=3)
+    codes, scales = quantize(jnp.asarray(vecs))
+    path = str(tmp_path / "s.blocks")
+    write_block_store(path, np.asarray(codes), np.asarray(scales), np.zeros(n, np.int32))
+    bs = BlockStore(path)
+    queries = gen_rand_vecs(9, d, seed=4)
+    _, got = bs.search_streaming(queries, 10, chunk_blocks=2)
+    expect = brute_force_nns(queries, codes, scales, 10)
+    np.testing.assert_array_equal(got, expect)
