@@ -20,6 +20,7 @@ Layer map (mirrors SURVEY.md §1):
 from .params import Params, get_default_ml
 from .store import PointStore
 from .models.flat import FlatIndex
+from .models.ivf import IVFFlatIndex
 
 __version__ = "0.1.0"
 
@@ -28,6 +29,7 @@ __all__ = [
     "get_default_ml",
     "PointStore",
     "FlatIndex",
+    "IVFFlatIndex",
     "HNSW",
     "__version__",
 ]
