@@ -105,8 +105,7 @@ def _wave_search_above(
     return cur_d2[:, None], cur_ids[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "m", "max_iters"))
-def _wave_layer_step(
+def _wave_layer_step_impl(
     adj,
     codes,
     scales,
@@ -134,8 +133,7 @@ def _wave_layer_step(
     return sel_d2, sel_ids
 
 
-@jax.jit
-def _apply_wave(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
+def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
     """Apply one wave's connections at one layer, functionally.
 
     ``ids_w`` int32[W] (invalid lanes < 0), ``nbr_ids``/``nbr_d2`` [W, m]
@@ -257,6 +255,67 @@ def _prot_sort(prot, d2, ids):
     return sd2, sids
 
 
+_wave_layer_step = functools.partial(jax.jit, static_argnames=("ef", "m", "max_iters"))(
+    _wave_layer_step_impl
+)
+_apply_wave = jax.jit(_apply_wave_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "m", "max_iters", "layer_nb"),
+    donate_argnames=("adjs", "indegs"),
+)
+def _insert_wave_fused(
+    adjs: tuple,
+    indegs: tuple,
+    codes,
+    scales,
+    ids_w,
+    ep,
+    ef: int,
+    m: int,
+    max_iters: int,
+    layer_nb: int,
+):
+    """One whole wave as a single dispatch: greedy descent above the home
+    layer, then (beam search -> select_heuristic -> apply) for every layer
+    from ``layer_nb`` down to 0. All searches read the pre-wave graph
+    snapshot; updates land functionally at the end (adjacency/in-degree
+    buffers are donated, so XLA updates them in place).
+
+    ``adjs``/``indegs`` are full layer stacks ordered layer 0 first;
+    returns the updated stacks. One dispatch per wave instead of ~2+3*L —
+    that matters both through high-latency dev tunnels and for XLA's
+    ability to overlap the per-layer stages.
+    """
+    safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
+    q = dequantize(codes[safe], scales[safe])
+    e_d2, e_ids = seed_entry(codes, scales, q, ep)
+    cur_d2, cur_ids = e_d2[:, 0], e_ids[:, 0]
+    for lam in range(len(adjs) - 1, layer_nb, -1):
+        cur_d2, cur_ids = greedy_descent(
+            adjs[lam], codes, scales, q, cur_d2, cur_ids, forbid=ids_w
+        )
+    entry_d2, entry_ids = cur_d2[:, None], cur_ids[:, None]
+
+    new_adjs = list(adjs)
+    new_indegs = list(indegs)
+    results = []
+    for lam in range(layer_nb, -1, -1):
+        sel_d2, sel_ids = _wave_layer_step_impl(
+            adjs[lam], codes, scales, ids_w, entry_d2, entry_ids,
+            ef=ef, m=m, max_iters=max_iters,
+        )
+        results.append((lam, sel_d2, sel_ids))
+        entry_d2, entry_ids = sel_d2, sel_ids
+    for lam, sel_d2, sel_ids in results:
+        new_adjs[lam], new_indegs[lam] = _apply_wave_impl(
+            adjs[lam], indegs[lam], codes, scales, ids_w, sel_d2, sel_ids
+        )
+    return tuple(new_adjs), tuple(new_indegs)
+
+
 # ---------------------------------------------------------------------------
 # host orchestration
 
@@ -292,30 +351,15 @@ def insert_waves(
         ids_w[:wsize] = wave
         ids_w = jnp.asarray(ids_w)
 
-        adjs_above = tuple(
-            graph.get_layer(l) for l in range(nlayers - 1, layer_nb, -1)
+        adjs = tuple(graph.get_layer(l) for l in range(nlayers))
+        indegs = tuple(graph.indeg(l) for l in range(nlayers))
+        new_adjs, new_indegs = _insert_wave_fused(
+            adjs, indegs, codes, scales, ids_w, ep_dev,
+            ef=params.ef_cons, m=params.m, max_iters=max_iters,
+            layer_nb=layer_nb,
         )
-        entry_d2, entry_ids = _wave_search_above(
-            adjs_above, codes, scales, ids_w, ep_dev,
-            ef=1, max_iters=max_iters, nlayers_above=len(adjs_above),
-        )
-        # traverse home layer down to 0 (inserter.rs:91-126), collecting
-        # the connections, then apply them all
-        results = []
-        for lam in range(layer_nb, -1, -1):
-            sel_d2, sel_ids = _wave_layer_step(
-                graph.get_layer(lam), codes, scales, ids_w,
-                entry_d2, entry_ids,
-                ef=params.ef_cons, m=params.m, max_iters=max_iters,
-            )
-            results.append((lam, sel_d2, sel_ids))
-            entry_d2, entry_ids = sel_d2, sel_ids
-        for lam, sel_d2, sel_ids in results:
-            new_adj, new_indeg = _apply_wave(
-                graph.get_layer(lam), graph.indeg(lam), codes, scales,
-                ids_w, sel_d2, sel_ids,
-            )
-            graph.set_layer(lam, new_adj, new_indeg)
+        for lam in range(nlayers):
+            graph.set_layer(lam, new_adjs[lam], new_indegs[lam])
         if bar is not None:
             bar.inc(wsize)
 

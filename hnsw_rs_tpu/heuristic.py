@@ -21,8 +21,9 @@ Faithful array reimplementation of ``Searcher::select_heuristic``
 The sequential accept loop is a ``lax.scan`` over pool positions whose
 carried state is the selected set's dequantized vectors — each step is one
 fused [B, m, d] distance eval, so a whole wave of inserts shares every
-step. Pool vectors ride through the scan as uint8 codes and are
-dequantized per step to keep the working set small.
+step. Candidate vectors are gathered per step (and pool distances are
+computed in fixed chunks), so no [B, C, d] pool temp ever materializes —
+C = ef*(1+cap) reaches thousands at large ``ef_cons``.
 """
 
 from __future__ import annotations
@@ -34,6 +35,25 @@ from .ops.distance import l2sq
 from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
 from .search import _gather_vecs, _row_min_dist_id
+
+_D2_CHUNK = 256  # pool-distance tile: bounds gather temps to [B, 256, d]
+
+
+def _chunked_d2(codes, scales, q, ids):
+    """Distances from each query to a wide id set [B, E], computed in
+    fixed-size chunks so the [B, E, d] gather temp never materializes
+    (E = ef*cap can reach thousands; a single gather blows HBM)."""
+    b, e = ids.shape
+    pad = (-e) % _D2_CHUNK
+    idsp = jnp.pad(ids, ((0, 0), (0, pad)))
+    chunks = idsp.reshape(b, -1, _D2_CHUNK)
+
+    def step(_, ch):
+        vecs = _gather_vecs(codes, scales, ch)
+        return None, l2sq(q[:, None, :], vecs)
+
+    _, out = jax.lax.scan(step, None, jnp.moveaxis(chunks, 1, 0))
+    return jnp.moveaxis(out, 0, 1).reshape(b, e + pad)[:, :e]
 
 
 def build_candidate_pool(
@@ -58,8 +78,7 @@ def build_candidate_pool(
         b, ef, cap = nbrs.shape
         nbrs = nbrs.reshape(b, ef * cap)
         nvalid = nvalid.reshape(b, ef * cap)
-        nvecs = _gather_vecs(codes, scales, jnp.where(nvalid, nbrs, 0))
-        nd2 = l2sq(q[:, None, :], nvecs)
+        nd2 = _chunked_d2(codes, scales, q, jnp.where(nvalid, nbrs, 0))
         nd2 = jnp.where(nvalid, nd2, INF)
         nids = jnp.where(nvalid, nbrs, PAD_ID)
         pool_d2 = jnp.concatenate([cand_d2, nd2], axis=1)
@@ -99,11 +118,8 @@ def select_heuristic(
     d = q.shape[1]
     n = codes.shape[0]
 
-    safe = jnp.clip(jnp.where(pool_ids == PAD_ID, 0, pool_ids), 0, n - 1)
-    pool_codes = codes[safe]  # [B, C, d] uint8
-    pool_scales = scales[safe]  # [B, C, 2]
-
-    # scan over pool positions; carry = selected set (vec cache + count)
+    # scan over pool positions; carry = selected set (vec cache + count);
+    # each step gathers its own candidate's codes (no [B, C, d] temp)
     sel_vecs0 = jnp.zeros((b, m, d), jnp.float32)
     sel_ids0 = jnp.full((b, m), PAD_ID, jnp.int32)
     sel_valid0 = jnp.zeros((b, m), bool)
@@ -113,8 +129,8 @@ def select_heuristic(
 
     def step(carry, xs):
         sel_vecs, sel_ids, sel_valid, nacc = carry
-        e_d2, e_id, e_codes, e_scales = xs
-        e_vec = dequantize(e_codes, e_scales)  # [B, d]
+        e_d2, e_id = xs
+        e_vec = _gather_vecs(codes, scales, jnp.where(e_id == PAD_ID, 0, e_id))
         valid = e_id != PAD_ID
         active = jnp.logical_and(valid, nacc < m)
 
@@ -142,8 +158,6 @@ def select_heuristic(
     xs = (
         jnp.moveaxis(pool_d2, 1, 0),
         jnp.moveaxis(pool_ids, 1, 0),
-        jnp.moveaxis(pool_codes, 1, 0),
-        jnp.moveaxis(pool_scales, 1, 0),
     )
     (_, _, _, nacc), (acc_t, rej_t) = jax.lax.scan(
         step, (sel_vecs0, sel_ids0, sel_valid0, nacc0), xs
