@@ -78,33 +78,6 @@ def _bucket(w: int, buckets=(16, 64, 256, 1024, 4096)) -> int:
 # device-side wave steps (jitted, static over shapes / layer index)
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "max_iters", "nlayers_above"))
-def _wave_search_above(
-    adjs_above: tuple,
-    codes,
-    scales,
-    ids_w,
-    ep,
-    ef: int,
-    max_iters: int,
-    nlayers_above: int,
-):
-    """Greedy ef=1 descent from the global EP through the layers above the
-    wave's home layer (``Inserter::traverse_layers_above``,
-    ``inserter.rs:70-89``). Returns [W, 1] entry (d2, ids)."""
-    del nlayers_above  # captured by the static structure of adjs_above
-    q = dequantize(codes[jnp.clip(ids_w, 0, codes.shape[0] - 1)],
-                   scales[jnp.clip(ids_w, 0, codes.shape[0] - 1)])
-    e_d2, e_ids = seed_entry(codes, scales, q, ep)
-    cur_d2, cur_ids = e_d2[:, 0], e_ids[:, 0]
-    for adj in adjs_above:  # ordered top layer first is irrelevant: strict
-        cur_d2, cur_ids = greedy_descent(
-            adj, codes, scales, q, cur_d2, cur_ids, forbid=ids_w
-        )
-    del ef, max_iters
-    return cur_d2[:, None], cur_ids[:, None]
-
-
 def _wave_layer_step_impl(
     adj,
     codes,

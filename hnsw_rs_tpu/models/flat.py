@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import DimensionMismatch
-from ..ops.distance import pairwise_l2sq_exact, pairwise_l2sq_mxu, point_normsq
+from ..ops.distance import normalize, pairwise_l2sq_exact, pairwise_l2sq_mxu, point_normsq
 from ..ops.quant import dequantize, quantize
 from ..ops.topk import topk_dist_id
 
@@ -37,9 +37,12 @@ def _flat_search(q, codes, scales, normsq, k: int, exact: bool):
 class FlatIndex:
     """Exact k-NN over a quantized (or raw float) collection."""
 
-    def __init__(self, dim: int, quantized: bool = True):
+    def __init__(self, dim: int, quantized: bool = True, metric: str = "l2"):
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}")
         self.dim = int(dim)
         self.quantized = quantized
+        self.metric = metric
         self.codes = jnp.zeros((0, dim), jnp.uint8)
         self.scales = jnp.zeros((0, 2), jnp.float32)
         self._normsq = jnp.zeros((0,), jnp.float32)
@@ -54,6 +57,8 @@ class FlatIndex:
             raise DimensionMismatch(
                 f"index dim {self.dim}, got {vectors.shape[-1]}"
             )
+        if self.metric == "cosine":
+            vectors = normalize(vectors)
         codes, scales = quantize(vectors)
         start = len(self)
         self.codes = jnp.concatenate([self.codes, codes], axis=0)
@@ -72,7 +77,10 @@ class FlatIndex:
         (cancellation-free) distance form for oracle use; the default MXU
         form is the fast path.
         """
-        qc, qs = quantize(jnp.atleast_2d(jnp.asarray(queries, jnp.float32)))
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        if self.metric == "cosine":
+            queries = normalize(queries)
+        qc, qs = quantize(queries)
         q = dequantize(qc, qs)
         d, i = _flat_search(q, self.codes, self.scales, self._normsq, k, exact)
         return np.asarray(d), np.asarray(i)

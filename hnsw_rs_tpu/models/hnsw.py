@@ -26,7 +26,7 @@ from ..graphs import LayeredGraph, degrees
 from ..ops.quant import dequantize, quantize
 from ..params import Params
 from ..search import ann_search
-from ..store import PointStore, sample_levels
+from ..store import PointStore
 from ..utils.progress import ProgressBar
 
 
@@ -54,12 +54,16 @@ class HNSW:
         ef_cons: int | None = None,
         dim: int = 0,
         params: Params | None = None,
+        metric: str = "l2",
     ):
         if params is None:
             if ef_cons is not None:
                 params = Params.from_m_efcons(m, ef_cons, dim)
             else:
                 params = Params.from_m(m, dim)
+            params.metric = metric
+        if params.metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric {params.metric!r}")
         self.params = params
         self.points = PointStore.empty(params.dim)
         self.graph = LayeredGraph(params.m, 0)
@@ -114,6 +118,7 @@ class HNSW:
         """
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         self._check_dim(vectors)
+        vectors = self._maybe_normalize(vectors)
         if self.params.dim == 0:
             self.params.dim = int(vectors.shape[-1])
             self.points = PointStore.empty(self.params.dim)
@@ -136,6 +141,7 @@ class HNSW:
         ``template.rs:165-173``). Returns the new point id."""
         vector = np.asarray(vector, np.float32).reshape(1, -1)
         self._check_dim(vector)
+        vector = self._maybe_normalize(vector)
         if self.params.dim == 0:
             self.params.dim = int(vector.shape[-1])
             self.points = PointStore.empty(self.params.dim)
@@ -149,6 +155,13 @@ class HNSW:
             return 0
         self._extend_built(new_ids, verbose=False)
         return int(new_ids[0])
+
+    def _maybe_normalize(self, v: np.ndarray) -> np.ndarray:
+        if self.params.metric == "cosine":
+            from ..ops.distance import normalize
+
+            return np.asarray(normalize(v))
+        return v
 
     def _level_seed(self) -> int:
         # distinct deterministic seed per store call; the reference reuses
@@ -209,6 +222,7 @@ class HNSW:
             max_iters = 2 * ef + 16
         # queries are quantized then dequantized: the index lives in
         # quantized space (template.rs:313)
+        queries = self._maybe_normalize(queries)
         qc, qs = quantize(jnp.asarray(queries))
         q = dequantize(qc, qs)
         table = self._serving_table()

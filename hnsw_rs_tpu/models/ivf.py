@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import DimensionMismatch
-from ..ops.distance import l2sq, pairwise_l2sq_exact
+from ..ops.distance import l2sq, normalize
 from ..ops.quant import dequantize, quantize
 from ..ops.topk import INF, PAD_ID, sort_dist_id
 
@@ -94,7 +94,11 @@ class IVFFlatIndex:
         n_probe: int = 8,
         kmeans_iters: int = 10,
         seed: int = 0,
+        metric: str = "l2",
     ):
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
         self.dim = int(dim)
         self.n_lists = int(n_lists)
         self.n_probe = int(n_probe)
@@ -117,6 +121,8 @@ class IVFFlatIndex:
             raise DimensionMismatch(
                 f"index dim {self.dim}, got {vectors.shape[-1]}"
             )
+        if self.metric == "cosine":
+            vectors = np.asarray(normalize(vectors))
         n = vectors.shape[0]
         if self.n_lists <= 0:
             self.n_lists = max(1, int(np.sqrt(n)))
@@ -152,6 +158,8 @@ class IVFFlatIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k: (distances [B, k], ids [B, k])."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.metric == "cosine":
+            queries = np.asarray(normalize(queries))
         q = dequantize(*quantize(jnp.asarray(queries)))
         p = min(n_probe or self.n_probe, self.n_lists)
         d, i = _ivf_search(q, self.centroids, self.blocks, self.block_ids, p, k)

@@ -5,6 +5,7 @@ selection primitives."""
 from .quant import BITS, LEVELS, dequantize, quantize
 from .distance import (
     l2,
+    normalize,
     l2sq,
     l2sq_quant,
     pairwise_l2sq_exact,
@@ -22,6 +23,7 @@ __all__ = [
     "quantize",
     "dequantize",
     "l2",
+    "normalize",
     "l2sq",
     "l2sq_quant",
     "pairwise_l2sq_exact",

@@ -97,3 +97,14 @@ def point_normsq(codes: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """|x_j|^2 for each quantized point, float32[N]."""
     x = dequantize(codes, scales)
     return jnp.sum(x * x, axis=-1)
+
+
+def normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """Unit-normalize along the last axis (zero vectors pass through).
+
+    Cosine/angular similarity reduces to L2 over unit vectors
+    (||a-b||^2 = 2 - 2 cos(a, b)), so every index supports
+    ``metric="cosine"`` by normalizing at insert and query time."""
+    x = jnp.asarray(x, jnp.float32)
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.where(n > 0.0, n, 1.0)

@@ -21,6 +21,7 @@ class Params:
     ml: float = 0.0
     ef_cons: int = 0
     ep: int = 0
+    metric: str = "l2"  # "l2" | "cosine" (cosine = L2 over unit vectors)
 
     def __post_init__(self) -> None:
         if self.mmax == 0:
