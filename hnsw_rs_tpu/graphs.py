@@ -182,6 +182,15 @@ class LayeredGraph:
         self._check(layer_nb, node)
         return int(np.sum(np.asarray(self.adjs[layer_nb][node]) >= 0))
 
+    def isolate_node(self, layer_nb: int, node: int) -> None:
+        """Remove ``node``'s edges in both directions, skipping any
+        neighbor that would drop to degree 0 (``Graph::isolate_node``,
+        ``graph/src/graph.rs:85-94``)."""
+        self._check(layer_nb, node)
+        for nb in self.neighbors(layer_nb, node):
+            if self.degree(layer_nb, int(nb)) > 1:
+                self.remove_edge(layer_nb, node, int(nb))
+
     def replace_neighbors(self, layer_nb: int, node: int, new_neighbors) -> None:
         """Replace ``node``'s outgoing list (directed analogue of
         ``Graph::replace_neighbors``, ``graph/src/graph.rs:128-137``)."""
@@ -193,6 +202,24 @@ class LayeredGraph:
         new[: min(len(uniq), cap)] = uniq[:cap]
         self.adjs[layer_nb] = adj.at[node].set(jnp.asarray(new))
         self._indegs[layer_nb] = None
+
+    # -- test factories ----------------------------------------------------
+
+    @classmethod
+    def make_rand(cls, n: int, m: int, n_edges: int, seed: int = 0) -> "LayeredGraph":
+        """Random single-layer graph for tests (``make_rand_graph``,
+        ``graph/src/graph.rs:254-273``)."""
+        g = cls(m, n)
+        g.ensure_level(0)
+        rng = np.random.default_rng(seed)
+        added = 0
+        while added < n_edges:
+            a, b = (int(x) for x in rng.integers(0, n, 2))
+            if a == b or g.degree(0, a) >= g.layer_cap(0) or g.degree(0, b) >= g.layer_cap(0):
+                continue
+            g.add_edge(0, a, b)
+            added += 1
+        return g
 
     # -- introspection -----------------------------------------------------
 

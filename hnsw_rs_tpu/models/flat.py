@@ -43,7 +43,7 @@ class FlatIndex:
         self.dim = int(dim)
         self.quantized = quantized
         self.metric = metric
-        self.codes = jnp.zeros((0, dim), jnp.uint8)
+        self.codes = jnp.zeros((0, dim), jnp.uint8 if quantized else jnp.float32)
         self.scales = jnp.zeros((0, 2), jnp.float32)
         self._normsq = jnp.zeros((0,), jnp.float32)
 
@@ -59,7 +59,13 @@ class FlatIndex:
             )
         if self.metric == "cosine":
             vectors = normalize(vectors)
-        codes, scales = quantize(vectors)
+        if self.quantized:
+            codes, scales = quantize(vectors)
+        else:
+            # FullVec parity (vectors/src/full.rs): raw f32 storage with
+            # identity scales, so the same kernels compute exact L2
+            codes = vectors
+            scales = jnp.tile(jnp.asarray([[0.0, 1.0]], jnp.float32), (vectors.shape[0], 1))
         start = len(self)
         self.codes = jnp.concatenate([self.codes, codes], axis=0)
         self.scales = jnp.concatenate([self.scales, scales], axis=0)
@@ -80,7 +86,10 @@ class FlatIndex:
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         if self.metric == "cosine":
             queries = normalize(queries)
-        qc, qs = quantize(queries)
-        q = dequantize(qc, qs)
+        if self.quantized:
+            qc, qs = quantize(queries)
+            q = dequantize(qc, qs)
+        else:
+            q = queries
         d, i = _flat_search(q, self.codes, self.scales, self._normsq, k, exact)
         return np.asarray(d), np.asarray(i)

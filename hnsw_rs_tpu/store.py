@@ -74,6 +74,16 @@ class PointStore:
     def ids(self) -> np.ndarray:
         return np.arange(len(self), dtype=np.int32)
 
+    def push(self, vector: np.ndarray, level: int) -> int:
+        """Append one point with an explicit level, re-iding it to the
+        tail position (``SimplePoints::push``, ``points/src/points.rs:
+        64-73``). Returns the new id."""
+        c, s = quantize(jnp.asarray(vector, jnp.float32).reshape(1, -1))
+        self.codes = jnp.concatenate([self.codes, c], axis=0)
+        self.scales = jnp.concatenate([self.scales, s], axis=0)
+        self.levels = np.concatenate([self.levels, [np.int32(level)]])
+        return len(self) - 1
+
     def extend(self, other: "PointStore") -> np.ndarray:
         """Append another store, re-iding its points to tail positions
         (``SimplePoints::extend``, ``points/src/points.rs:103-116``).
