@@ -18,10 +18,11 @@ def test_flat_unquantized_exact_f32():
     np.testing.assert_array_equal(i[:, 0], np.arange(10))
     np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-6)
     # exact f32 distances, not quantized ones
+    two = FlatIndex(16, quantized=False)
+    two.add(store[:2])
     want = np.sqrt(np.sum((store[0] - store[1]) ** 2))
-    d2, i2 = idx.search(store[0], 2, exact=True)
-    got = d2[0][i2[0] == 1][0]
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    d2, i2 = two.search(store[0], 2, exact=True)
+    np.testing.assert_allclose(d2[0][i2[0] == 1][0], want, rtol=1e-6)
 
 
 def test_isolate_node_protects_last_edge():
