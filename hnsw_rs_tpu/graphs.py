@@ -215,7 +215,12 @@ class LayeredGraph:
         added = 0
         while added < n_edges:
             a, b = (int(x) for x in rng.integers(0, n, 2))
-            if a == b or g.degree(0, a) >= g.layer_cap(0) or g.degree(0, b) >= g.layer_cap(0):
+            if (
+                a == b
+                or b in g.neighbors(0, a)
+                or g.degree(0, a) >= g.layer_cap(0)
+                or g.degree(0, b) >= g.layer_cap(0)
+            ):
                 continue
             g.add_edge(0, a, b)
             added += 1
