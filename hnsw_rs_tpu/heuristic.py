@@ -18,12 +18,12 @@ Faithful array reimplementation of ``Searcher::select_heuristic``
 3. keep_pruned: backfill rejected candidates in (dist, id) order up to
    ``m`` (``searcher.rs:141-146``).
 
-The sequential accept loop is a ``lax.scan`` over pool positions whose
-carried state is the selected set's dequantized vectors — each step is one
-fused [B, m, d] distance eval, so a whole wave of inserts shares every
-step. Candidate vectors are gathered per step (and pool distances are
-computed in fixed chunks), so no [B, C, d] pool temp ever materializes —
-C = ef*(1+cap) reaches thousands at large ``ef_cons``.
+The accept loop is evaluated in static chunks with batched [B, G, m]
+distance tests (see the inline note in :func:`select_heuristic` — monotone
+rejection makes chunked re-testing exact), so the sequential step count is
+~C/G + m instead of C; pool distances are computed in fixed-size tiles so
+no [B, C, d] temp ever materializes (C = ef*(1+cap) reaches thousands at
+large ``ef_cons``).
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from .ops.distance import l2sq
 from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
-from .search import _gather_vecs, _row_min_dist_id
+from .search import _gather_vecs
 
 _D2_CHUNK = 256  # pool-distance tile: bounds gather temps to [B, 256, d]
 
@@ -116,59 +116,109 @@ def select_heuristic(
     )
     b, c = pool_ids.shape
     d = q.shape[1]
-    n = codes.shape[0]
 
-    # scan over pool positions; carry = selected set (vec cache + count);
-    # each step gathers its own candidate's codes (no [B, C, d] temp)
+    # Chunked accept loop. The loop is sequential in principle (candidate
+    # p's accept test depends on every acceptance at positions < p), but
+    # rejection is MONOTONE: the selected set only grows, and more selected
+    # points can only shrink min_s d(e, s) — so a candidate that failed
+    # once fails forever, and re-testing is free of semantic risk. That
+    # lets us process the pool in static chunks of G: per chunk, repeatedly
+    # (a) test all candidates against the *current* selected set in one
+    # batched [B, G, m] distance eval, (b) accept only the FIRST passer
+    # (pool order = Dist order), until no passer remains. Candidates before
+    # the first passer saw the correct selected set; candidates after it
+    # are re-tested next round. Total iterations ~ C/G + #acceptances
+    # instead of C — the difference between ~2100 and ~50 sequential steps
+    # per wave at large ef_cons.
+    g = min(128, c)
+    nchunks = -(-c // g)
+    cp = nchunks * g
+    pool_d2p = jnp.pad(pool_d2, ((0, 0), (0, cp - c)), constant_values=INF)
+    pool_idsp = jnp.pad(pool_ids, ((0, 0), (0, cp - c)), constant_values=PAD_ID)
+
     sel_vecs0 = jnp.zeros((b, m, d), jnp.float32)
     sel_ids0 = jnp.full((b, m), PAD_ID, jnp.int32)
     sel_valid0 = jnp.zeros((b, m), bool)
     nacc0 = jnp.zeros((b,), jnp.int32)
+    stop0 = jnp.full((b,), cp, jnp.int32)  # position of the m-th acceptance
 
     slot_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
+    g_iota = jnp.arange(g, dtype=jnp.int32)[None, :]
 
-    def step(carry, xs):
-        sel_vecs, sel_ids, sel_valid, nacc = carry
-        e_d2, e_id = xs
-        e_vec = _gather_vecs(codes, scales, jnp.where(e_id == PAD_ID, 0, e_id))
-        valid = e_id != PAD_ID
-        active = jnp.logical_and(valid, nacc < m)
+    def chunk_step(carry, xs):
+        sel_vecs, sel_ids, sel_valid, nacc, stop = carry
+        cd2, cids, cbase = xs  # [B, G], [B, G], scalar chunk base
+        cvecs = _gather_vecs(
+            codes, scales, jnp.where(cids == PAD_ID, 0, cids)
+        )  # [B, G, d]
+        cvalid = cids != PAD_ID
 
-        # (min_s d(e, s), id_s*) over currently-selected points
-        d2s = l2sq(e_vec[:, None, :], sel_vecs)  # [B, m]
-        d2s = jnp.where(sel_valid, d2s, INF)
-        near_d2, near_id = _row_min_dist_id(d2s, sel_ids)
+        def pass_mask(sel_vecs, sel_ids, sel_valid, nacc, taken):
+            # min_s d(e, s) with id tie-break, batched over the chunk
+            d2s = l2sq(cvecs[:, :, None, :], sel_vecs[:, None, :, :])
+            d2s = jnp.where(sel_valid[:, None, :], d2s, INF)
+            near_d2 = jnp.min(d2s, axis=-1)
+            near_id = jnp.min(
+                jnp.where(d2s == near_d2[..., None], sel_ids[:, None, :], PAD_ID),
+                axis=-1,
+            )
+            ok = jnp.logical_or(
+                cd2 < near_d2,
+                jnp.logical_and(cd2 == near_d2, cids < near_id),
+            )
+            return (
+                cvalid & ~taken & ok & (nacc < m)[:, None]
+            )
 
-        accept = jnp.logical_and(
-            active,
-            jnp.logical_or(
-                e_d2 < near_d2,
-                jnp.logical_and(e_d2 == near_d2, e_id < near_id),
-            ),
+        def cond(s):
+            return jnp.any(s[5])
+
+        def body(s):
+            sel_vecs, sel_ids, sel_valid, nacc, taken, pm, stop = s
+            has = jnp.any(pm, axis=1)
+            f = jnp.argmax(pm, axis=1)  # first passer (pool order)
+            e_vec = jnp.take_along_axis(cvecs, f[:, None, None], axis=1)[:, 0]
+            e_id = jnp.take_along_axis(cids, f[:, None], axis=1)[:, 0]
+            hit = jnp.logical_and(has[:, None], slot_iota == nacc[:, None])
+            sel_vecs = jnp.where(hit[:, :, None], e_vec[:, None, :], sel_vecs)
+            sel_ids = jnp.where(hit, e_id[:, None], sel_ids)
+            sel_valid = jnp.logical_or(sel_valid, hit)
+            nacc = nacc + has.astype(jnp.int32)
+            taken = jnp.logical_or(
+                taken, jnp.logical_and(has[:, None], g_iota == f[:, None])
+            )
+            stop = jnp.where(jnp.logical_and(has, nacc == m), cbase + f, stop)
+            pm = pass_mask(sel_vecs, sel_ids, sel_valid, nacc, taken)
+            return (sel_vecs, sel_ids, sel_valid, nacc, taken, pm, stop)
+
+        taken0 = jnp.zeros((b, g), bool)
+        pm0 = pass_mask(sel_vecs, sel_ids, sel_valid, nacc, taken0)
+        sel_vecs, sel_ids, sel_valid, nacc, taken, _, stop = jax.lax.while_loop(
+            cond, body,
+            (sel_vecs, sel_ids, sel_valid, nacc, taken0, pm0, stop),
         )
-        # write accepted candidate into slot nacc
-        hit = jnp.logical_and(accept[:, None], slot_iota == nacc[:, None])
-        sel_vecs = jnp.where(hit[:, :, None], e_vec[:, None, :], sel_vecs)
-        sel_ids = jnp.where(hit, e_id[:, None], sel_ids)
-        sel_valid = jnp.logical_or(sel_valid, hit)
-        nacc = nacc + accept.astype(jnp.int32)
-        rejected = jnp.logical_and(active, jnp.logical_not(accept))
-        return (sel_vecs, sel_ids, sel_valid, nacc), (accept, rejected)
+        return (sel_vecs, sel_ids, sel_valid, nacc, stop), taken
 
+    bases = jnp.arange(nchunks, dtype=jnp.int32) * g
     xs = (
-        jnp.moveaxis(pool_d2, 1, 0),
-        jnp.moveaxis(pool_ids, 1, 0),
+        pool_d2p.reshape(b, nchunks, g).swapaxes(0, 1),
+        pool_idsp.reshape(b, nchunks, g).swapaxes(0, 1),
+        bases,
     )
-    (_, _, _, nacc), (acc_t, rej_t) = jax.lax.scan(
-        step, (sel_vecs0, sel_ids0, sel_valid0, nacc0), xs
+    (_, _, _, nacc, stop), taken_t = jax.lax.scan(
+        chunk_step, (sel_vecs0, sel_ids0, sel_valid0, nacc0, stop0), xs
     )
-    accepted = jnp.moveaxis(acc_t, 0, 1)  # [B, C]
-    rejected = jnp.moveaxis(rej_t, 0, 1)
+    accepted = jnp.moveaxis(taken_t, 0, 1).reshape(b, cp)[:, :c]
 
-    # keep_pruned backfill: rejected candidates in pool (= Dist) order fill
-    # the remaining slots. Early stop (nacc == m) implies no backfill, so
-    # the "unprocessed" tail is correctly excluded.
+    # keep_pruned backfill: processed-and-rejected candidates (positions
+    # before the m-th acceptance, not accepted) in pool order fill the
+    # remaining slots. Early stop (nacc == m) implies no backfill, so the
+    # unprocessed tail is correctly excluded.
     if keep_pruned:
+        pos = jnp.arange(c, dtype=jnp.int32)[None, :]
+        rejected = (
+            (pool_ids != PAD_ID) & ~accepted & (pos < stop[:, None])
+        )
         rej_rank = jnp.cumsum(rejected.astype(jnp.int32), axis=1) - 1
         fill = jnp.maximum(m - nacc, 0)[:, None]
         in_final = jnp.logical_or(
