@@ -88,6 +88,7 @@ def _wave_layer_step_impl(
     ef: int,
     m: int,
     max_iters: int,
+    extend_cands: bool = True,
 ):
     """One layer of the insertion pipeline for a whole wave
     (``Inserter::traverse_layers_below`` body, ``inserter.rs:91-126``):
@@ -101,7 +102,7 @@ def _wave_layer_step_impl(
     )
     sel_d2, sel_ids = select_heuristic(
         adj, codes, scales, q, beam_d2, beam_ids, m,
-        extend_cands=True, keep_pruned=True, forbid=ids_w,
+        extend_cands=extend_cands, keep_pruned=True, forbid=ids_w,
     )
     return sel_d2, sel_ids
 
@@ -139,25 +140,35 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
     # own rows are fresh (new nodes had empty rows): every target gains one
     indeg = indeg.at[jnp.where(nbr_ok, nbr_ids, n)].add(1, mode="drop")
 
-    # 2. reverse edges, sort-based group-by-target
+    # 2. reverse edges, sort-based group-by-target. A single 1-key sort of
+    # (target, edge-permutation) groups the edges; payloads are fetched by
+    # permutation afterwards (each extra sort operand costs ~30% on a 64k
+    # 1-D sort, and within-group order doesn't matter: the union prune
+    # below row-sorts by (d2, id) anyway).
     e = w * m
-    tgt = jnp.where(nbr_ok, nbr_ids, n).reshape(e)
-    src = jnp.broadcast_to(ids_w[:, None], (w, m)).reshape(e)
-    ed2 = jnp.where(nbr_ok, nbr_d2, INF).reshape(e)
-    tgt, ed2, src = jax.lax.sort((tgt, ed2, src), dimension=0, num_keys=3)
+    tgt0 = jnp.where(nbr_ok, nbr_ids, n).reshape(e)
+    src0 = jnp.broadcast_to(ids_w[:, None], (w, m)).reshape(e)
+    ed20 = jnp.where(nbr_ok, nbr_d2, INF).reshape(e)
+    idx = jnp.arange(e, dtype=jnp.int32)
+    tgt, perm = jax.lax.sort((tgt0, idx), dimension=0, num_keys=1)
+    src = src0[perm]
+    ed2 = ed20[perm]
     valid = tgt < n
 
     first = jnp.concatenate(
         [valid[:1], jnp.logical_and(valid[1:], tgt[1:] != tgt[:-1])]
     )
-    idx = jnp.arange(e, dtype=jnp.int32)
     grp_start = jax.lax.cummax(jnp.where(first, idx, -1))
     pos = idx - grp_start  # rank of this edge within its target's run
     # every per-target row below lives at the target's *first edge
     # position* (grp_start), keeping ex/inc/new_rows/targets_u aligned
     row_e = jnp.where(valid, grp_start, e)
 
-    slots = cap  # only the cap nearest incoming can ever survive the prune
+    # 2x cap slots: unsorted within-group order means slot overflow drops
+    # an *arbitrary* (not worst) incoming edge, so leave headroom; >2*cap
+    # same-target incoming in one wave is vanishingly rare, and the prune
+    # keeps the (d2, id)-nearest cap of whatever lands
+    slots = 2 * cap
     inc_ids = jnp.full((e, slots), SENTINEL, jnp.int32)
     inc_d2 = jnp.full((e, slots), INF, jnp.float32)
     pos_c = jnp.where(pos < slots, pos, slots)  # overflow -> dropped
@@ -228,15 +239,15 @@ def _prot_sort(prot, d2, ids):
     return sd2, sids
 
 
-_wave_layer_step = functools.partial(jax.jit, static_argnames=("ef", "m", "max_iters"))(
-    _wave_layer_step_impl
-)
+_wave_layer_step = functools.partial(
+    jax.jit, static_argnames=("ef", "m", "max_iters", "extend_cands")
+)(_wave_layer_step_impl)
 _apply_wave = jax.jit(_apply_wave_impl)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "m", "max_iters", "layer_nb"),
+    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
     donate_argnames=("adjs", "indegs"),
 )
 def _insert_wave_fused(
@@ -250,6 +261,7 @@ def _insert_wave_fused(
     m: int,
     max_iters: int,
     layer_nb: int,
+    extend_cands: bool = True,
 ):
     """One whole wave as a single dispatch: greedy descent above the home
     layer, then (beam search -> select_heuristic -> apply) for every layer
@@ -278,7 +290,7 @@ def _insert_wave_fused(
     for lam in range(layer_nb, -1, -1):
         sel_d2, sel_ids = _wave_layer_step_impl(
             adjs[lam], codes, scales, ids_w, entry_d2, entry_ids,
-            ef=ef, m=m, max_iters=max_iters,
+            ef=ef, m=m, max_iters=max_iters, extend_cands=extend_cands,
         )
         results.append((lam, sel_d2, sel_ids))
         entry_d2, entry_ids = sel_d2, sel_ids
@@ -329,7 +341,7 @@ def insert_waves(
         new_adjs, new_indegs = _insert_wave_fused(
             adjs, indegs, codes, scales, ids_w, ep_dev,
             ef=params.ef_cons, m=params.m, max_iters=max_iters,
-            layer_nb=layer_nb,
+            layer_nb=layer_nb, extend_cands=params.extend_cands,
         )
         for lam in range(nlayers):
             graph.set_layer(lam, new_adjs[lam], new_indegs[lam])

@@ -152,29 +152,43 @@ def select_heuristic(
             codes, scales, jnp.where(cids == PAD_ID, 0, cids)
         )  # [B, G, d]
         cvalid = cids != PAD_ID
+        cnormsq = jnp.sum(cvecs * cvecs, axis=-1)  # [B, G]
 
-        def pass_mask(sel_vecs, sel_ids, sel_valid, nacc, taken):
-            # min_s d(e, s) with id tie-break, batched over the chunk
-            d2s = l2sq(cvecs[:, :, None, :], sel_vecs[:, None, :, :])
-            d2s = jnp.where(sel_valid[:, None, :], d2s, INF)
-            near_d2 = jnp.min(d2s, axis=-1)
-            near_id = jnp.min(
-                jnp.where(d2s == near_d2[..., None], sel_ids[:, None, :], PAD_ID),
-                axis=-1,
-            )
+        # near = (min_s d(e, s), tie-min id) per chunk candidate, carried
+        # through the accept loop and updated *incrementally*: one fused
+        # [B, G, d] eval against the single newly-accepted vector per
+        # iteration, instead of re-evaluating against all m selected.
+        # Chunk entry computes it against the selected-so-far set once, on
+        # the MXU (|e|^2 + |s|^2 - 2 e.s — the broadcast form would
+        # materialize a [B, G, m, d] temp, gigabytes per eval).
+        es = jax.lax.dot_general(
+            cvecs, sel_vecs, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, G, m]
+        snormsq = jnp.sum(sel_vecs * sel_vecs, axis=-1)  # [B, m]
+        d2s = jnp.maximum(
+            cnormsq[:, :, None] + snormsq[:, None, :] - 2.0 * es, 0.0
+        )
+        d2s = jnp.where(sel_valid[:, None, :], d2s, INF)
+        near_d2 = jnp.min(d2s, axis=-1)  # [B, G]
+        near_id = jnp.min(
+            jnp.where(d2s == near_d2[..., None], sel_ids[:, None, :], PAD_ID),
+            axis=-1,
+        )
+
+        def pass_mask(near_d2, near_id, nacc, taken):
             ok = jnp.logical_or(
                 cd2 < near_d2,
                 jnp.logical_and(cd2 == near_d2, cids < near_id),
             )
-            return (
-                cvalid & ~taken & ok & (nacc < m)[:, None]
-            )
+            return cvalid & ~taken & ok & (nacc < m)[:, None]
 
         def cond(s):
-            return jnp.any(s[5])
+            return jnp.any(s[7])
 
         def body(s):
-            sel_vecs, sel_ids, sel_valid, nacc, taken, pm, stop = s
+            sel_vecs, sel_ids, sel_valid, nacc, taken, near_d2, near_id, pm, stop = s
             has = jnp.any(pm, axis=1)
             f = jnp.argmax(pm, axis=1)  # first passer (pool order)
             e_vec = jnp.take_along_axis(cvecs, f[:, None, None], axis=1)[:, 0]
@@ -188,14 +202,29 @@ def select_heuristic(
                 taken, jnp.logical_and(has[:, None], g_iota == f[:, None])
             )
             stop = jnp.where(jnp.logical_and(has, nacc == m), cbase + f, stop)
-            pm = pass_mask(sel_vecs, sel_ids, sel_valid, nacc, taken)
-            return (sel_vecs, sel_ids, sel_valid, nacc, taken, pm, stop)
+            # incremental near update vs the one new selected vector
+            diff = cvecs - e_vec[:, None, :]
+            dnew = jnp.sum(diff * diff, axis=-1)  # [B, G]
+            dnew = jnp.where(has[:, None], dnew, INF)
+            closer = dnew < near_d2
+            tie = dnew == near_d2
+            near_id = jnp.where(
+                closer, e_id[:, None],
+                jnp.where(tie, jnp.minimum(near_id, e_id[:, None]), near_id),
+            )
+            near_d2 = jnp.where(closer, dnew, near_d2)
+            pm = pass_mask(near_d2, near_id, nacc, taken)
+            return (sel_vecs, sel_ids, sel_valid, nacc, taken,
+                    near_d2, near_id, pm, stop)
 
         taken0 = jnp.zeros((b, g), bool)
-        pm0 = pass_mask(sel_vecs, sel_ids, sel_valid, nacc, taken0)
-        sel_vecs, sel_ids, sel_valid, nacc, taken, _, stop = jax.lax.while_loop(
-            cond, body,
-            (sel_vecs, sel_ids, sel_valid, nacc, taken0, pm0, stop),
+        pm0 = pass_mask(near_d2, near_id, nacc, taken0)
+        (sel_vecs, sel_ids, sel_valid, nacc, taken, _, _, _, stop) = (
+            jax.lax.while_loop(
+                cond, body,
+                (sel_vecs, sel_ids, sel_valid, nacc, taken0,
+                 near_d2, near_id, pm0, stop),
+            )
         )
         return (sel_vecs, sel_ids, sel_valid, nacc, stop), taken
 

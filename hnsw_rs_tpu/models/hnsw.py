@@ -55,6 +55,7 @@ class HNSW:
         dim: int = 0,
         params: Params | None = None,
         metric: str = "l2",
+        extend_cands: bool = True,
     ):
         if params is None:
             if ef_cons is not None:
@@ -62,6 +63,7 @@ class HNSW:
             else:
                 params = Params.from_m(m, dim)
             params.metric = metric
+            params.extend_cands = extend_cands
         if params.metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric {params.metric!r}")
         self.params = params
