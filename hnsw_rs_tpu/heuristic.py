@@ -202,9 +202,15 @@ def select_heuristic(
                 taken, jnp.logical_and(has[:, None], g_iota == f[:, None])
             )
             stop = jnp.where(jnp.logical_and(has, nacc == m), cbase + f, stop)
-            # incremental near update vs the one new selected vector
-            diff = cvecs - e_vec[:, None, :]
-            dnew = jnp.sum(diff * diff, axis=-1)  # [B, G]
+            # incremental near update vs the one new selected vector —
+            # batched matvec on the MXU so no [B, G, d] temp materializes
+            ev = jax.lax.dot_general(
+                cvecs, e_vec, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B, G]
+            enorm = jnp.sum(e_vec * e_vec, axis=-1)  # [B]
+            dnew = jnp.maximum(cnormsq + enorm[:, None] - 2.0 * ev, 0.0)
             dnew = jnp.where(has[:, None], dnew, INF)
             closer = dnew < near_d2
             tie = dnew == near_d2

@@ -225,6 +225,14 @@ class HNSW:
         # queries are quantized then dequantized: the index lives in
         # quantized space (template.rs:313)
         queries = self._maybe_normalize(queries)
+        # pad the batch to a power-of-two bucket so arbitrary batch sizes
+        # reuse a handful of compiled variants
+        b = queries.shape[0]
+        bp = 1 << max(6, (b - 1).bit_length())
+        if bp != b:
+            queries = np.concatenate(
+                [queries, np.zeros((bp - b, queries.shape[1]), np.float32)]
+            )
         qc, qs = quantize(jnp.asarray(queries))
         q = dequantize(qc, qs)
         table = self._serving_table()
@@ -232,7 +240,7 @@ class HNSW:
             tuple(self.graph.adjs), table, self.points.scales,
             q, jnp.asarray(self.params.ep, jnp.int32), ef, n, max_iters,
         )
-        return np.asarray(d), np.asarray(i)
+        return np.asarray(d)[:b], np.asarray(i)[:b]
 
     def _serving_table(self) -> "jnp.ndarray":
         """uint8 codes, or the cached dequantized f32 table when it fits
