@@ -245,12 +245,7 @@ _wave_layer_step = functools.partial(
 _apply_wave = jax.jit(_apply_wave_impl)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
-    donate_argnames=("adjs", "indegs"),
-)
-def _insert_wave_fused(
+def _insert_wave_fused_impl(
     adjs: tuple,
     indegs: tuple,
     codes,
@@ -299,6 +294,13 @@ def _insert_wave_fused(
             adjs[lam], indegs[lam], codes, scales, ids_w, sel_d2, sel_ids
         )
     return tuple(new_adjs), tuple(new_indegs)
+
+
+_insert_wave_fused = functools.partial(
+    jax.jit,
+    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
+    donate_argnames=("adjs", "indegs"),
+)(_insert_wave_fused_impl)
 
 
 # ---------------------------------------------------------------------------

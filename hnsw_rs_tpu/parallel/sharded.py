@@ -81,39 +81,48 @@ def sharded_query(mesh, adjs_s, codes_s, scales_s, gids_s, eps_s, q, ef, k, max_
 
 
 def sharded_wave_step(
-    mesh, adj_s, indeg_s, codes_s, scales_s, ids_w_s, eps_s, *, ef, m, max_iters
+    mesh, adjs_s, indegs_s, codes_s, scales_s, ids_w_s, eps_s,
+    *, ef, m, max_iters, layer_nb=0, extend_cands=True,
 ):
-    """One wave of sharded bulk construction: every shard inserts its wave
-    of new points into its local sub-graph concurrently (shard_map over the
-    ``shard`` axis) — the multi-chip form of the reference's per-layer
-    thread fan-out (``hnsw/src/template.rs:403-440``). Returns the updated
-    (adjacency, in-degree) stacks."""
-    from ..build import _apply_wave, _wave_layer_step
-    from ..search import seed_entry
+    """One wave of sharded bulk construction: every shard runs the FULL
+    fused insertion wave (greedy descent above the home layer, per-layer
+    beam search + heuristic + edge apply — ``build._insert_wave_fused``)
+    on its local sub-graph concurrently, via shard_map over the ``shard``
+    axis — the multi-chip form of the reference's per-layer thread fan-out
+    (``hnsw/src/template.rs:403-440``).
 
-    def per_shard(adj, indeg, codes, scales, ids_w, ep):
-        adj, indeg, codes, scales, ids_w, ep = (
-            x[0] for x in (adj, indeg, codes, scales, ids_w, ep)
-        )
-        safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
-        q = dequantize(codes[safe], scales[safe])
-        e_d2, e_ids = seed_entry(codes, scales, q, ep)
-        sel_d2, sel_ids = _wave_layer_step(
-            adj, codes, scales, ids_w, e_d2, e_ids,
-            ef=ef, m=m, max_iters=max_iters,
-        )
-        new_adj, new_indeg = _apply_wave(
-            adj, indeg, codes, scales, ids_w, sel_d2, sel_ids
-        )
-        return new_adj[None], new_indeg[None]
+    ``adjs_s``/``indegs_s``: tuples (layer 0 first) of [S, Ns, cap_l] /
+    [S, Ns] stacks. Returns the updated stacks.
+    """
+    from ..build import _insert_wave_fused_impl
 
+    def per_shard(adjs, indegs, codes, scales, ids_w, ep):
+        adjs = tuple(a[0] for a in adjs)
+        indegs = tuple(d[0] for d in indegs)
+        codes, scales, ids_w, ep = (
+            x[0] for x in (codes, scales, ids_w, ep)
+        )
+        new_adjs, new_indegs = _insert_wave_fused_impl(
+            adjs, indegs, codes, scales, ids_w, ep,
+            ef=ef, m=m, max_iters=max_iters, layer_nb=layer_nb,
+            extend_cands=extend_cands,
+        )
+        return (
+            tuple(a[None] for a in new_adjs),
+            tuple(d[None] for d in new_indegs),
+        )
+
+    nl = len(adjs_s)
     return jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P("shard"),) * 6,
-        out_specs=(P("shard"), P("shard")),
+        in_specs=(
+            (P("shard"),) * nl, (P("shard"),) * nl,
+            P("shard"), P("shard"), P("shard"), P("shard"),
+        ),
+        out_specs=((P("shard"),) * nl, (P("shard"),) * nl),
         check_vma=False,
-    )(adj_s, indeg_s, codes_s, scales_s, ids_w_s, eps_s)
+    )(adjs_s, indegs_s, codes_s, scales_s, ids_w_s, eps_s)
 
 
 class ShardedHNSW:
@@ -136,24 +145,107 @@ class ShardedHNSW:
         self._stacked = None
 
     def __len__(self) -> int:
+        if self._stacked is not None:
+            return int(np.sum(np.asarray(self._stacked["gids"]) >= 0))
         return sum(len(s) for s in self.shards)
 
     # -- build -------------------------------------------------------------
 
-    def insert_bulk(self, vectors: np.ndarray, verbose: bool = False) -> "ShardedHNSW":
-        """Partition contiguously and build each shard's sub-index (shard
-        builds are independent — the reference's thread fan-out
-        (template.rs:403-440) becomes embarrassingly parallel sub-builds)."""
+    def insert_bulk(
+        self, vectors: np.ndarray, verbose: bool = False, concurrent: bool = True
+    ) -> "ShardedHNSW":
+        """Partition contiguously and build every shard's sub-index.
+
+        ``concurrent=True`` (default): all shards build **simultaneously**
+        — each wave is one shard_map'd fused insert step running on every
+        device at once (the multi-chip analogue of the reference's thread
+        fan-out, ``template.rs:403-440``). ``concurrent=False`` builds the
+        shards one by one with the host builder (cross-check path).
+        """
         vectors = np.asarray(vectors, np.float32)
         n = vectors.shape[0]
         bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
         self._offsets = bounds[:-1]
-        for s in range(self.n_shards):
-            sub = HNSW(self.params.m, self.params.ef_cons, self.params.dim)
-            sub.insert_bulk(vectors[bounds[s] : bounds[s + 1]], verbose=verbose)
-            self.shards.append(sub)
-        self._stack()
+        if not concurrent:
+            for s in range(self.n_shards):
+                sub = HNSW(self.params.m, self.params.ef_cons, self.params.dim)
+                sub.insert_bulk(vectors[bounds[s] : bounds[s + 1]], verbose=verbose)
+                self.shards.append(sub)
+            self._stack()
+            return self
+        self._build_concurrent(vectors, bounds)
         return self
+
+    def _build_concurrent(self, vectors: np.ndarray, bounds: np.ndarray) -> None:
+        """Shard-parallel wave build over the mesh."""
+        import functools
+
+        from ..build import _bucket, wave_schedule
+        from ..ops.quant import quantize as _q
+        from ..store import sample_levels
+
+        S = self.n_shards
+        p = self.params
+        ns = int(max(bounds[s + 1] - bounds[s] for s in range(S)))
+        d = p.dim
+        codes = np.zeros((S, ns, d), np.uint8)
+        scales = np.zeros((S, ns, 2), np.float32)
+        levels = np.full((S, ns), -1, np.int32)
+        gids = np.full((S, ns), -1, np.int32)
+        eps = np.zeros((S,), np.int32)
+        for s in range(S):
+            k = int(bounds[s + 1] - bounds[s])
+            c, sc = _q(jnp.asarray(vectors[bounds[s] : bounds[s + 1]]))
+            codes[s, :k] = np.asarray(c)
+            scales[s, :k] = np.asarray(sc)
+            lv = sample_levels(k, p.ml, seed=s)
+            levels[s, :k] = lv
+            gids[s, :k] = self._offsets[s] + np.arange(k)
+            eps[s] = int(np.flatnonzero(lv == lv.max())[0]) if k else 0
+        top = int(levels.max())
+        shard = NamedSharding(self.mesh, P("shard"))
+        dev = lambda x: jax.device_put(jnp.asarray(x), shard)
+        codes_d, scales_d = dev(codes), dev(scales)
+        eps_d = dev(eps)
+        adjs = tuple(
+            dev(np.full((S, ns, p.layer_cap(l)), -1, np.int32))
+            for l in range(top + 1)
+        )
+        indegs = tuple(dev(np.zeros((S, ns), np.int32)) for _ in range(top + 1))
+
+        step = jax.jit(
+            functools.partial(sharded_wave_step, self.mesh),
+            static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
+        )
+        max_iters = 2 * p.ef_cons + 16
+        for layer_nb in range(top, -1, -1):
+            homes = [
+                np.flatnonzero(levels[s] == layer_nb).astype(np.int32)
+                for s in range(S)
+            ]
+            maxhome = max((h.size for h in homes), default=0)
+            if maxhome == 0:
+                continue
+            offs = [0] * S
+            for wsize in wave_schedule(maxhome):
+                wpad = _bucket(wsize)
+                ids_w = np.full((S, wpad), -1, np.int32)
+                for s in range(S):
+                    take = homes[s][offs[s] : offs[s] + wsize]
+                    ids_w[s, : take.size] = take
+                    offs[s] += wsize
+                adjs, indegs = step(
+                    adjs, indegs, codes_d, scales_d, dev(ids_w), eps_d,
+                    ef=p.ef_cons, m=p.m, max_iters=max_iters,
+                    layer_nb=layer_nb, extend_cands=p.extend_cands,
+                )
+        self._stacked = {
+            "codes": codes_d,
+            "scales": scales_d,
+            "gids": dev(gids),
+            "eps": eps_d,
+            "adjs": adjs,
+        }
 
     def _stack(self) -> None:
         """Stack per-shard arrays to [S, ...] with uniform padding."""

@@ -1,0 +1,47 @@
+"""Concurrent (shard_map) sharded build vs the sequential per-shard host
+builder: same recall class, valid global ids, balanced shard occupancy."""
+
+import numpy as np
+
+from hnsw_rs_tpu import FlatIndex
+from hnsw_rs_tpu.parallel import ShardedHNSW, make_mesh
+from hnsw_rs_tpu.utils import gen_rand_vecs
+
+N, DIM, M = 480, 16, 8
+
+
+def recall(ids, truth):
+    return np.mean([len(set(a) & set(t)) / len(t) for a, t in zip(ids, truth)])
+
+
+def test_concurrent_matches_sequential_quality():
+    vecs = gen_rand_vecs(N, DIM, seed=0)
+    queries = gen_rand_vecs(24, DIM, seed=1)
+    flat = FlatIndex(DIM)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+
+    mesh = make_mesh(n_data=1, n_shard=4)
+    conc = ShardedHNSW(M, DIM, n_shards=4, mesh=mesh)
+    conc.insert_bulk(vecs, concurrent=True)
+    assert len(conc) == N
+    _, ids_c = conc.ann_batch(queries, 10, 60)
+    rc = recall(ids_c, truth)
+
+    seq = ShardedHNSW(M, DIM, n_shards=4, mesh=make_mesh(1, 4))
+    seq.insert_bulk(vecs, concurrent=False)
+    _, ids_s = seq.ann_batch(queries, 10, 60)
+    rs = recall(ids_s, truth)
+
+    assert rc > 0.93, f"concurrent recall {rc}"
+    assert rc >= rs - 0.05, f"concurrent {rc} vs sequential {rs}"
+    assert np.all((ids_c >= 0) & (ids_c < N))
+
+
+def test_concurrent_build_self_queries():
+    vecs = gen_rand_vecs(N, DIM, seed=2)
+    mesh = make_mesh(n_data=2, n_shard=4)
+    sharded = ShardedHNSW(M, DIM, n_shards=4, mesh=mesh)
+    sharded.insert_bulk(vecs)
+    _, ids = sharded.ann_batch(vecs[:64], 1, 40)
+    assert np.mean(ids[:, 0] == np.arange(64)) > 0.97
