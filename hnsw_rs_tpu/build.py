@@ -40,7 +40,7 @@ import numpy as np
 from .graphs import LayeredGraph
 from .heuristic import select_heuristic
 from .ops.quant import dequantize
-from .ops.topk import INF, PAD_ID, SENTINEL, sort_dist_id
+from .ops.topk import INF, PAD_ID, SENTINEL
 from .params import Params
 from .search import greedy_descent, search_layer, seed_entry
 from .store import PointStore

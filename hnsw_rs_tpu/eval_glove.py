@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     log.info("loaded %d stored / %d query vectors (dim %d)",
              len(stored), len(queries), stored.shape[1])
 
+    if args.model != "hnsw":
+        return eval_other_model(args, stored, queries)
+
     if args.load:
         t0 = time.time()
         index = HNSW.load(args.load)
@@ -55,7 +58,8 @@ def main(argv=None) -> int:
         log.info("imported reference index from %s in %.2fs",
                  args.import_reference, time.time() - t0)
     else:
-        index = HNSW(args.m, ef_cons=args.ef_cons, dim=stored.shape[1])
+        index = HNSW(args.m, ef_cons=args.ef_cons, dim=stored.shape[1],
+                     metric=args.metric)
         t0 = time.time()
         index.insert_bulk(stored, verbose=verbose)
         np.asarray(index.graph.get_layer(0))  # force async build completion
@@ -99,6 +103,54 @@ def main(argv=None) -> int:
 
     if args.words:
         show_nn_words(index, words, args.k)
+    return 0
+
+
+def eval_other_model(args, stored, queries) -> int:
+    """Evaluate the Flat or IVF-Flat family on the same data."""
+    from .models.flat import FlatIndex
+    from .models.ivf import IVFFlatIndex
+
+    k = args.k
+    if args.metric == "cosine":
+        from .ops.distance import normalize
+
+        stored = np.asarray(normalize(stored))
+        queries = np.asarray(normalize(queries))
+    if args.model == "flat":
+        index = FlatIndex(stored.shape[1], metric=args.metric)
+        t0 = time.time()
+        index.add(stored)
+        log.info("flat add: %d vectors in %.2fs", len(index), time.time() - t0)
+        sweeps = [("exact", {})]
+        search = lambda q, **kw: index.search(q, k)
+    else:
+        index = IVFFlatIndex(
+            stored.shape[1], n_lists=args.n_lists, metric=args.metric
+        )
+        t0 = time.time()
+        index.train_add(stored)
+        log.info("ivf train+add: %d vectors, %d lists in %.2fs",
+                 len(index), index.n_lists, time.time() - t0)
+        sweeps = [(f"probe={p}", {"n_probe": p}) for p in args.probe]
+        search = lambda q, **kw: index.search(q, k, **kw)
+
+    truth = brute_force_nns(queries, index.codes, index.scales, k)
+    batch = args.batch or len(queries)
+    reps = max(1, -(-batch // len(queries)))
+    big = np.tile(queries, (reps, 1))[:batch]
+    print(f"\n setting    recall@{k}   QPS")
+    for label, kw in sweeps:
+        _, ann = search(queries, **kw)
+        rec = recall_at_k(ann, truth, k)
+        search(big, **kw)
+        t0 = time.time()
+        iters = 0
+        while time.time() - t0 < 1.0:
+            search(big, **kw)
+            iters += 1
+        qps = batch * iters / (time.time() - t0)
+        print(f"{label:>9s}   {rec:.4f}   {qps:10.0f}")
     return 0
 
 

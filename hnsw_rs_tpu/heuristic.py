@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from .ops.distance import l2sq
-from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
 from .search import _gather_vecs
 
