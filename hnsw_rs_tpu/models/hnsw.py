@@ -74,6 +74,7 @@ class HNSW:
         # auto-enabled while the f32 copy stays under this many bytes
         self.f32_cache_limit = 2 << 30
         self._f32_table = None
+        self._f32_n = -1
 
     # -- basics ------------------------------------------------------------
 
@@ -182,7 +183,7 @@ class HNSW:
         levels = self.points.levels
         old_top = len(self.graph) - 1
         new_top = int(levels[new_ids].max())
-        self.graph.ensure_nodes(len(self))
+        self.graph.ensure_nodes(self.points.capacity)
         self.graph.ensure_level(max(old_top, new_top))
         max_iters = build_kwargs.pop("max_iters", None) or 2 * self.params.ef_cons + 16
         bar = ProgressBar("inserting", len(new_ids), enabled=verbose)
@@ -245,11 +246,12 @@ class HNSW:
     def _serving_table(self) -> "jnp.ndarray":
         """uint8 codes, or the cached dequantized f32 table when it fits
         (identical distances — dequantization is exact either way)."""
-        nbytes = len(self) * max(self.params.dim, 1) * 4
+        nbytes = self.points.capacity * max(self.params.dim, 1) * 4
         if nbytes > self.f32_cache_limit:
             return self.points.codes
-        if self._f32_table is None or self._f32_table.shape[0] != len(self):
+        if self._f32_table is None or self._f32_n != len(self):
             self._f32_table = dequantize(self.points.codes, self.points.scales)
+            self._f32_n = len(self)
         return self._f32_table
 
     # -- introspection -----------------------------------------------------
@@ -281,7 +283,7 @@ class HNSW:
             # undirected min-degree >= 1 check (template.rs:356-367) means
             # both out-degree and in-degree must be nonzero
             if int(member.sum()) > 1:
-                indeg = np.bincount(adj[adj >= 0], minlength=len(self))
+                indeg = np.bincount(adj[adj >= 0], minlength=self.points.capacity)
                 if np.any(indeg[member] == 0):
                     ok = False
                     if verbose:
@@ -323,13 +325,14 @@ class HNSW:
                 f,
                 indent=2,
             )
+        n = len(self)
         arrays = {
-            "codes": np.asarray(self.points.codes),
-            "scales": np.asarray(self.points.scales),
-            "levels": np.asarray(self.points.levels),
+            "codes": np.asarray(self.points.codes)[:n],
+            "scales": np.asarray(self.points.scales)[:n],
+            "levels": np.asarray(self.points.levels)[:n],
         }
         for i in range(len(self.graph)):
-            arrays[f"adj_{i}"] = np.asarray(self.graph.get_layer(i))
+            arrays[f"adj_{i}"] = np.asarray(self.graph.get_layer(i))[:n]
         np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
 
     @classmethod

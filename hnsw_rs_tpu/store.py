@@ -15,6 +15,7 @@ deterministic seed like the reference's ``StdRng::seed_from_u64(0)``
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,13 +38,29 @@ def sample_levels(n: int, ml: float, seed: int = 0) -> np.ndarray:
     return np.minimum(levels, MAX_LEVEL)
 
 
-class PointStore:
-    """Dense quantized point collection (the ``SimplePoints`` analogue)."""
+POISON_MIN = 1.0e18  # pad-row dequant value: astronomically far, never top-k
 
-    def __init__(self, codes: jnp.ndarray, scales: jnp.ndarray, levels: np.ndarray):
-        self.codes = codes  # uint8[N, d]
-        self.scales = scales  # f32[N, 2]
-        self.levels = np.asarray(levels, np.int32)  # host metadata
+
+class PointStore:
+    """Dense quantized point collection (the ``SimplePoints`` analogue).
+
+    Arrays may carry *capacity* beyond the live count ``len(self)`` so
+    that incremental inserts amortize growth (power-of-two capacity keeps
+    array shapes — and therefore compiled programs — stable). Padding rows
+    are "poisoned": ``scales = (POISON_MIN, 0)`` dequantizes them to a
+    vector astronomically far from everything, and ``levels = -1`` keeps
+    them out of every layer, so all consumers (search, brute force,
+    compliance) work on the capacity arrays unchanged.
+    """
+
+    def __init__(
+        self, codes: jnp.ndarray, scales: jnp.ndarray, levels: np.ndarray,
+        n: int | None = None,
+    ):
+        self.codes = codes  # uint8[C, d], C = capacity
+        self.scales = scales  # f32[C, 2]
+        self.levels = np.asarray(levels, np.int32)  # host metadata, len C
+        self._n = int(codes.shape[0]) if n is None else int(n)
 
     @classmethod
     def empty(cls, dim: int) -> "PointStore":
@@ -65,11 +82,31 @@ class PointStore:
         return cls(codes, scales, levels)
 
     def __len__(self) -> int:
+        return self._n
+
+    @property
+    def capacity(self) -> int:
         return int(self.codes.shape[0])
 
     @property
     def dim(self) -> int | None:
         return int(self.codes.shape[1]) if len(self) else None
+
+    def _grow_to(self, cap: int) -> None:
+        """Grow the capacity arrays (next power of two), poisoning pads."""
+        old = self.capacity
+        if cap <= old:
+            return
+        d = self.codes.shape[1]
+        codes = jnp.zeros((cap, d), jnp.uint8)
+        scales = jnp.tile(
+            jnp.asarray([[POISON_MIN, 0.0]], jnp.float32), (cap, 1)
+        )
+        self.codes = jax.lax.dynamic_update_slice(codes, self.codes, (0, 0))
+        self.scales = jax.lax.dynamic_update_slice(scales, self.scales, (0, 0))
+        self.levels = np.concatenate(
+            [self.levels, np.full((cap - old,), -1, np.int32)]
+        )
 
     def ids(self) -> np.ndarray:
         return np.arange(len(self), dtype=np.int32)
@@ -78,21 +115,39 @@ class PointStore:
         """Append one point with an explicit level, re-iding it to the
         tail position (``SimplePoints::push``, ``points/src/points.rs:
         64-73``). Returns the new id."""
-        c, s = quantize(jnp.asarray(vector, jnp.float32).reshape(1, -1))
-        self.codes = jnp.concatenate([self.codes, c], axis=0)
-        self.scales = jnp.concatenate([self.scales, s], axis=0)
-        self.levels = np.concatenate([self.levels, [np.int32(level)]])
-        return len(self) - 1
+        other = PointStore(
+            *quantize(jnp.asarray(vector, jnp.float32).reshape(1, -1)),
+            np.asarray([level], np.int32),
+        )
+        return int(self.extend(other)[0])
 
     def extend(self, other: "PointStore") -> np.ndarray:
         """Append another store, re-iding its points to tail positions
         (``SimplePoints::extend``, ``points/src/points.rs:103-116``).
-        Returns the new ids."""
+        Returns the new ids. Capacity grows in powers of two; a fresh bulk
+        extend into an empty store stays exactly sized (no padding)."""
         start = len(self)
-        self.codes = jnp.concatenate([self.codes, other.codes], axis=0)
-        self.scales = jnp.concatenate([self.scales, other.scales], axis=0)
-        self.levels = np.concatenate([self.levels, other.levels])
-        return np.arange(start, start + len(other), dtype=np.int32)
+        k = len(other)
+        need = start + k
+        if start == 0 and self.capacity == 0:
+            self.codes = other.codes[:k]
+            self.scales = other.scales[:k]
+            self.levels = np.asarray(other.levels[:k], np.int32)
+            self._n = k
+            return np.arange(k, dtype=np.int32)
+        if need > self.capacity:
+            self._grow_to(max(1 << (need - 1).bit_length(), 64))
+        at = jnp.asarray(start, jnp.int32)
+        z = jnp.asarray(0, jnp.int32)
+        self.codes = jax.lax.dynamic_update_slice(
+            self.codes, other.codes[:k], (at, z)
+        )
+        self.scales = jax.lax.dynamic_update_slice(
+            self.scales, other.scales[:k], (at, z)
+        )
+        self.levels[start:need] = other.levels[:k]
+        self._n = need
+        return np.arange(start, need, dtype=np.int32)
 
     def get_values(self, idx) -> np.ndarray:
         """Dequantized float values of point(s) ``idx``

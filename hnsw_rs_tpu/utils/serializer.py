@@ -161,11 +161,12 @@ def export_reference_index(index, path: str) -> None:
     """
     os.makedirs(path, exist_ok=True)
     os.makedirs(os.path.join(path, "layers"), exist_ok=True)
+    n = len(index)
     write_points(
         os.path.join(path, "points"),
-        np.asarray(index.points.codes),
-        np.asarray(index.points.scales),
-        index.points.levels,
+        np.asarray(index.points.codes)[:n],
+        np.asarray(index.points.scales)[:n],
+        index.points.levels[:n],
     )
     p = index.params
     write_params(
@@ -173,12 +174,12 @@ def export_reference_index(index, path: str) -> None:
         dict(m=p.m, mmax=p.mmax, mmax0=p.mmax0, ml=p.ml,
              ef_cons=p.ef_cons, dim=p.dim, ep=p.ep),
     )
-    levels = index.points.levels
+    levels = index.points.levels[:n]
     for layer_nb in range(len(index.graph)):
         member = levels >= layer_nb
         write_layer(
             os.path.join(path, "layers", str(layer_nb)),
             layer_nb,
-            np.asarray(index.graph.get_layer(layer_nb)),
+            np.asarray(index.graph.get_layer(layer_nb))[:n],
             member,
         )
