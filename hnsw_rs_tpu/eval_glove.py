@@ -168,6 +168,9 @@ def show_nn_words(index: HNSW, words: list[str], k: int) -> None:
             continue
         v = index.get_point(by_word[w]).values
         ids = index.ann_by_vector(v, k + 1, ef=1000)
+        # padded results carry PAD_ID when fewer than k+1 points are
+        # reachable; keep only real vocabulary ids
+        ids = [int(i) for i in ids if 0 <= int(i) < len(words)]
         names = [words[i] for i in ids if i != by_word[w]][:k]
         print(f"  {w}: {', '.join(names)}")
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .errors import NodeNotInGraph, SelfConnection
+from .errors import IsolatedNode, MExceeded, NodeNotInGraph, SelfConnection
 from .ops.topk import SENTINEL
 
 
@@ -151,12 +151,19 @@ class LayeredGraph:
 
     def add_edge(self, layer_nb: int, a: int, b: int) -> None:
         """Undirected edge insert; rejects self-loops
-        (``graph/src/graph.rs:37-52``)."""
+        (``graph/src/graph.rs:37-52``) and raises :class:`MExceeded` when an
+        endpoint's row is full (the reference declares the variant,
+        ``graph/src/errors.rs:8``, but silently relies on set growth; dense
+        rows make the cap real, so enforce it instead of dropping edges)."""
         if a == b:
             raise SelfConnection(a)
         self._check(layer_nb, a)
         self._check(layer_nb, b)
         adj = self.adjs[layer_nb]
+        rows = np.asarray(adj[jnp.asarray([a, b])])
+        for node, other, row in ((a, b, rows[0]), (b, a, rows[1])):
+            if other not in row and not np.any(row < 0):
+                raise MExceeded(node, int(row.shape[0]))
         adj = adj.at[a].set(row_insert(adj[a], b))
         adj = adj.at[b].set(row_insert(adj[b], a))
         self.adjs[layer_nb] = adj
@@ -182,14 +189,19 @@ class LayeredGraph:
         self._check(layer_nb, node)
         return int(np.sum(np.asarray(self.adjs[layer_nb][node]) >= 0))
 
-    def isolate_node(self, layer_nb: int, node: int) -> None:
+    def isolate_node(self, layer_nb: int, node: int, strict: bool = False) -> None:
         """Remove ``node``'s edges in both directions, skipping any
         neighbor that would drop to degree 0 (``Graph::isolate_node``,
-        ``graph/src/graph.rs:85-94``)."""
+        ``graph/src/graph.rs:85-94``). With ``strict=True``, a refused
+        removal raises :class:`IsolatedNode` (the error variant the
+        reference declares at ``graph/src/errors.rs:6``) instead of
+        silently keeping the edge."""
         self._check(layer_nb, node)
         for nb in self.neighbors(layer_nb, node):
             if self.degree(layer_nb, int(nb)) > 1:
                 self.remove_edge(layer_nb, node, int(nb))
+            elif strict:
+                raise IsolatedNode(int(nb))
 
     def replace_neighbors(self, layer_nb: int, node: int, new_neighbors) -> None:
         """Replace ``node``'s outgoing list (directed analogue of

@@ -351,6 +351,12 @@ class HNSW:
         index = cls(params.m, params=params)
         index.points = PointStore(codes, scales, levels)
         index.graph = LayeredGraph(params.m, codes.shape[0])
-        index.graph.adjs = adjs
+        # populate through the layer API so in-degree caches are created
+        # (indeg=None → lazy recompute); assigning .adjs directly leaves
+        # _indegs empty and corrupts the next insert's isolate-protection
+        if adjs:
+            index.graph.ensure_level(len(adjs) - 1)
+            for i, adj in enumerate(adjs):
+                index.graph.set_layer(i, adj, indeg=None)
         index._level_rng_calls = int(meta.get("level_rng_calls", 1))
         return index

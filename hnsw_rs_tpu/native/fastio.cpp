@@ -40,10 +40,20 @@ inline float parse_float(const char*& p, const char* end) {
         val += frac / scale;
     }
     if (p < end && (*p == 'e' || *p == 'E')) {
-        // rare path: defer to strtof for full correctness
+        // rare path: defer to strtof for full correctness. Copy the token
+        // into a NUL-terminated buffer first: the mmap is not
+        // NUL-terminated, and a number ending exactly at EOF of a
+        // page-multiple-sized file would let strtof read past the mapping.
+        char buf[64];
+        size_t i = 0;
+        for (const char* c = start; c < end && i < sizeof(buf) - 1; ++c) {
+            if (*c == ' ' || *c == '\t' || *c == '\n' || *c == '\r') break;
+            buf[i++] = *c;
+        }
+        buf[i] = '\0';
         char* q = nullptr;
-        float f = strtof(start, &q);
-        p = q;
+        float f = strtof(buf, &q);
+        p = start + (q - buf);
         return f;
     }
     return neg ? -(float)val : (float)val;

@@ -41,6 +41,9 @@ class ReplicatedHNSW:
         ef = max(ef, n)
         if max_iters is None:
             max_iters = 2 * ef + 16
+        # cosine indexes store unit-normalized points; normalize queries the
+        # same way HNSW.ann_batch does so distances are the 2-2cos values
+        queries = self.index._maybe_normalize(queries)
         qc, qs = quantize(jnp.asarray(queries))
         q = jax.device_put(
             dequantize(qc, qs), NamedSharding(self.mesh, P("data"))

@@ -84,7 +84,7 @@ def greedy_descent(
     n = codes.shape[0]
 
     def body(state):
-        cur_d2, cur_ids, moved = state
+        cur_d2, cur_ids, moved, it = state
         safe = jnp.clip(cur_ids, 0, n - 1)
         nbrs = adj[safe]  # [B, cap]
         valid = nbrs >= 0
@@ -103,20 +103,21 @@ def greedy_descent(
             jnp.where(better, best_d2, cur_d2),
             jnp.where(better, best_id, cur_ids),
             better,
+            it + 1,
         )
 
     # strict lexicographic improvement cannot cycle, but keep a static
-    # safety bound anyway (XLA-friendly; real walks stop in O(log N) hops)
+    # safety bound anyway: any future distance nondeterminism (e.g. a bf16
+    # fast path) must degrade to a long walk, not a hang
     def cond(state):
-        return jnp.any(state[2])
+        return jnp.logical_and(jnp.any(state[2]), state[3] < max_iters)
 
     # init `moved` as all-True *derived from the carry* (not a fresh
     # constant) so its varying-axes type matches the body output when the
     # loop runs inside shard_map
-    cur_d2, cur_ids, _ = jax.lax.while_loop(
-        cond, body, (cur_d2, cur_ids, cur_ids == cur_ids)
+    cur_d2, cur_ids, _, _ = jax.lax.while_loop(
+        cond, body, (cur_d2, cur_ids, cur_ids == cur_ids, jnp.zeros((), jnp.int32))
     )
-    del max_iters
     return cur_d2, cur_ids
 
 

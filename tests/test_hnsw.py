@@ -107,3 +107,21 @@ def test_degrees_and_print(capsys):
     index.print_index()
     out = capsys.readouterr().out
     assert f"Nb. of points = {N}" in out
+
+def test_load_then_insert(tmp_path):
+    # regression: load() used to leave the graph's in-degree caches empty,
+    # making any post-load insert raise (or silently corrupt the graph)
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=11))
+    p = str(tmp_path / "idx")
+    index.save(p)
+    loaded = HNSW.load(p)
+    new_id = loaded.insert_vec(gen_rand_vecs(1, DIM, seed=12)[0])
+    assert new_id == N
+    loaded.insert_bulk(gen_rand_vecs(20, DIM, seed=13))
+    assert len(loaded) == N + 21
+    assert loaded.assert_param_compliance(verbose=True)
+    # the post-load inserts are reachable
+    v = loaded.get_point(new_id).values
+    ids = loaded.ann_by_vector(v, 1, 50)
+    assert int(ids[0]) == new_id

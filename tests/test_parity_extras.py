@@ -53,3 +53,32 @@ def test_point_store_push():
     np.testing.assert_allclose(ps.get_values(0), v, atol=0.01)
     pid2 = ps.push(v * 2, level=0)
     assert pid2 == 1 and len(ps) == 2
+
+def test_add_edge_m_exceeded():
+    from hnsw_rs_tpu.errors import MExceeded
+
+    g = LayeredGraph(m=1, n=4)  # layer 0 cap = 2
+    g.ensure_level(0)
+    g.add_edge(0, 0, 1)
+    g.add_edge(0, 0, 2)
+    g.add_edge(0, 0, 1)  # idempotent re-add of an existing edge is fine
+    with pytest.raises(MExceeded):
+        g.add_edge(0, 0, 3)  # node 0's row is full
+    with pytest.raises(MExceeded):
+        g.add_edge(0, 3, 0)  # full endpoint on the other side
+    assert set(g.neighbors(0, 0)) == {1, 2}
+
+
+def test_isolate_node_strict_raises():
+    from hnsw_rs_tpu.errors import IsolatedNode
+
+    g = LayeredGraph(m=4, n=4)
+    g.ensure_level(0)
+    g.add_edge(0, 0, 1)  # node 1's only edge
+    g.add_edge(0, 0, 2)
+    g.add_edge(0, 2, 3)
+    with pytest.raises(IsolatedNode):
+        g.isolate_node(0, 0, strict=True)
+    # default (reference semantics, graph/src/graph.rs:85-94) still skips
+    g.isolate_node(0, 0)
+    assert set(g.neighbors(0, 0)) == {1}

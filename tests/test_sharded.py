@@ -59,3 +59,16 @@ def test_sharded_self_queries():
     _, ids = sharded.ann_batch(vecs[:64], 1, 40)
     hit = np.mean(ids[:, 0] == np.arange(64))
     assert hit > 0.97, f"sharded self-recall {hit}"
+
+def test_replicated_cosine_matches_single_device():
+    # regression: ReplicatedHNSW used to skip cosine query normalization,
+    # returning raw-L2 distances instead of the 2-2cos values
+    vecs = gen_rand_vecs(N, DIM, seed=7) + 0.5
+    index = HNSW(M, dim=DIM, metric="cosine")
+    index.insert_bulk(vecs)
+    queries = gen_rand_vecs(16, DIM, seed=8) * 3.0  # deliberately unnormalized
+    d1, i1 = index.ann_batch(queries, 5, 40)
+    rep = ReplicatedHNSW(index, make_mesh(n_data=8, n_shard=1))
+    d2, i2 = rep.ann_batch(queries, 5, 40)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
