@@ -55,12 +55,13 @@ def sharded_query(mesh, adjs_s, codes_s, scales_s, gids_s, eps_s, q, ef, k, max_
     """
 
     def per_shard(adjs, codes, scales, gids, ep, q):
-        adjs = tuple(jax.lax.pvary(a[0], ("data",)) for a in adjs)
+        vary = lambda x, ax: jax.lax.pcast(x, ax, to="varying")
+        adjs = tuple(vary(a[0], ("data",)) for a in adjs)
         codes, scales, gids, ep = (
-            jax.lax.pvary(x, ("data",))
+            vary(x, ("data",))
             for x in (codes[0], scales[0], gids[0], ep[0])
         )
-        q = jax.lax.pvary(q, ("shard",))
+        q = vary(q, ("shard",))
         d2, gl = _local_search(adjs, codes, scales, gids, ep, q, ef, k, max_iters)
         d2_all = jax.lax.all_gather(d2, "shard", axis=1, tiled=True)
         gl_all = jax.lax.all_gather(gl, "shard", axis=1, tiled=True)
@@ -161,8 +162,13 @@ class ShardedHNSW:
         device at once (the multi-chip analogue of the reference's thread
         fan-out, ``template.rs:403-440``). ``concurrent=False`` builds the
         shards one by one with the host builder (cross-check path).
+
+        Calling this on an already-built object REPLACES the index with a
+        fresh build over ``vectors``.
         """
         vectors = np.asarray(vectors, np.float32)
+        self.shards = []
+        self._stacked = None
         n = vectors.shape[0]
         bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
         self._offsets = bounds[:-1]
@@ -281,14 +287,6 @@ class ShardedHNSW:
 
     # -- query -------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "ef", "k", "max_iters"))
-    def _sharded_query(self, q, ef, k, max_iters):
-        st = self._stacked
-        return sharded_query(
-            self.mesh, st["adjs"], st["codes"], st["scales"], st["gids"],
-            st["eps"], q, ef, k, max_iters,
-        )
-
     def ann_batch(
         self, queries: np.ndarray, n: int, ef: int, max_iters: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -301,13 +299,16 @@ class ShardedHNSW:
         qc, qs = quantize(jnp.asarray(queries))
         q = dequantize(qc, qs)
         q = jax.device_put(q, NamedSharding(self.mesh, P("data")))
-        d, i = self._sharded_query(q, ef, n, max_iters)
+        # index arrays are passed as jit ARGUMENTS (not via a static self)
+        # so a rebuild on the same object never serves a stale executable
+        st = self._stacked
+        d, i = _sharded_query_jit(
+            self.mesh, st["adjs"], st["codes"], st["scales"], st["gids"],
+            st["eps"], q, ef=ef, k=n, max_iters=max_iters,
+        )
         return np.asarray(d), np.asarray(i)
 
-    # hashing for jit static self: identity-based is fine (stacked arrays
-    # are rebuilt into a fresh object per build)
-    def __hash__(self):
-        return id(self)
 
-    def __eq__(self, other):
-        return self is other
+_sharded_query_jit = functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("ef", "k", "max_iters")
+)(sharded_query)

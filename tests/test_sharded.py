@@ -72,3 +72,23 @@ def test_replicated_cosine_matches_single_device():
     d2, i2 = rep.ann_batch(queries, 5, 40)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+def test_sharded_rebuild_serves_new_index():
+    # regression: the query jit used to reach the stacked arrays through a
+    # static `self`, so a second insert_bulk served the STALE executable
+    from hnsw_rs_tpu.parallel import ShardedHNSW
+
+    mesh = make_mesh(n_data=1, n_shard=4)
+    idx = ShardedHNSW(M, DIM, n_shards=4, mesh=mesh)
+    first = gen_rand_vecs(128, DIM, seed=20)
+    idx.insert_bulk(first)
+    q = first[:8]
+    d1, i1 = idx.ann_batch(q, 1, 32)
+    np.testing.assert_array_equal(i1[:, 0], np.arange(8))  # self-match
+    # rebuild with DIFFERENT vectors; the same queries must now resolve
+    # against the new collection (shifted so old self-matches are wrong)
+    second = gen_rand_vecs(128, DIM, seed=21) + 2.0
+    idx.insert_bulk(second)
+    d2, i2 = idx.ann_batch(second[:8], 1, 32)
+    np.testing.assert_array_equal(i2[:, 0], np.arange(8))
+    assert float(d2[:, 0].max()) < 1e-3  # exact self-match on NEW data
