@@ -16,28 +16,37 @@ import threading
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastio.cpp")
-_SO = os.path.join(
-    os.path.expanduser(os.environ.get("HNSW_NATIVE_CACHE", "~/.cache/hnsw_rs_tpu")),
-    "fastio.so",
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.expanduser(
+    os.environ.get("HNSW_NATIVE_CACHE", "~/.cache/hnsw_rs_tpu")
 )
+_SRC = os.path.join(_DIR, "fastio.cpp")
+_SO = os.path.join(_CACHE, "fastio.so")
+_BASE_SRC = os.path.join(_DIR, "baseline_hnsw.cpp")
+_BASE_SO = os.path.join(_CACHE, "baseline_hnsw.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_base_lib = None
+_base_tried = False
+
+
+def _compile(src: str, so: str) -> str | None:
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so],
+            check=True, capture_output=True, timeout=300,
+        )
+        return so
+    except Exception:
+        return None
 
 
 def _build() -> str | None:
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
-            check=True, capture_output=True, timeout=120,
-        )
-        return _SO
-    except Exception:
-        return None
+    return _compile(_SRC, _SO)
 
 
 def get_lib():
@@ -121,3 +130,88 @@ def pread_block(path: str, offset: int, nbytes: int) -> np.ndarray | None:
     if got < 0:
         return None
     return out[:got]
+
+# ---------------------------------------------------------------------------
+# single-core CPU HNSW baseline (the measured denominator for the
+# ">= 50x single-core build rate" north star; see baseline_hnsw.cpp)
+
+
+def get_baseline_lib():
+    """Loaded baseline library, or None if unavailable."""
+    global _base_lib, _base_tried
+    with _lock:
+        if _base_tried:
+            return _base_lib
+        _base_tried = True
+        so = _compile(_BASE_SRC, _BASE_SO)
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.hnsw_baseline_build.restype = ctypes.c_int
+        lib.hnsw_baseline_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.hnsw_baseline_query_rate.restype = ctypes.c_int
+        lib.hnsw_baseline_query_rate.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _base_lib = lib
+        return _base_lib
+
+
+def baseline_build_rate(
+    vectors: "np.ndarray", m: int, ef_cons: int = 0, seed: int = 0
+) -> tuple[float, float] | None:
+    """Single-core sequential HNSW build on this host's CPU.
+
+    Returns (seconds, vectors_per_second) for the insert loop, or None if
+    the native toolchain is unavailable."""
+    lib = get_baseline_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vectors, np.float32)
+    secs = ctypes.c_double()
+    rate = ctypes.c_double()
+    rc = lib.hnsw_baseline_build(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.shape[0], v.shape[1], m, ef_cons, seed,
+        ctypes.byref(secs), ctypes.byref(rate),
+    )
+    if rc != 0:
+        return None
+    return secs.value, rate.value
+
+
+def baseline_query_rate(
+    vectors: "np.ndarray", queries: "np.ndarray",
+    m: int, ef: int, k: int = 10, ef_cons: int = 0, seed: int = 0,
+) -> tuple[float, "np.ndarray"] | None:
+    """Single-core one-query-at-a-time HNSW QPS on this host's CPU
+    (the role of the reference README's ~300 req/s figure). Returns
+    (qps, ids[nq, k]) or None."""
+    lib = get_baseline_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vectors, np.float32)
+    q = np.ascontiguousarray(queries, np.float32)
+    qps = ctypes.c_double()
+    ids = np.empty((q.shape[0], k), np.int32)
+    rc = lib.hnsw_baseline_query_rate(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.shape[0], v.shape[1],
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), q.shape[0],
+        m, ef_cons, ef, k, seed, ctypes.byref(qps),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return qps.value, ids
