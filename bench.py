@@ -1,13 +1,24 @@
-"""Headline benchmark: batched query QPS at recall@10 >= 0.99 on the
-bundled GloVe set (the reference's quality gate, ``hnsw/src/template.rs:
-519-572``, and its README throughput claim of ~300 req/s single-thread).
+"""Headline benchmark: batched HNSW query QPS at recall@10 >= 0.99 at
+MILLION scale (BASELINE configs 2-3), on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever device jax picks (the driver provides the TPU).
+vs_baseline divides by the reference's published ~300 req/s single-thread
+query rate (README.md:7); the metric string also carries the measured
+single-core C++ build/query rates from hnsw_rs_tpu/native/baseline_hnsw.cpp
+so every x-factor has a measured denominator.
 
-Measurement notes: results are synced via an on-device scalar checksum so
-the timing covers compute, not the dev tunnel's slow device->host pipe;
-the build is timed on a second, compile-cache-warm run.
+Dataset: seeded synthetic clustered vectors (SIFT-like regime; this host
+has no egress, so ann-benchmarks files cannot be downloaded — the loader
+for them is hnsw_rs_tpu.utils.datasets.load_ann_benchmarks_hdf5). Ground
+truth is exact quantized-space top-k computed on device, matching the
+reference's quality gate (hnsw/src/template.rs:531-541).
+
+Caching: the built index and ground truth are cached under .bench_cache/
+(gitignored) keyed by config, so repeat runs skip the ~2-minute build;
+build throughput is (re)measured only when building fresh, and the cached
+rate is reported otherwise.
+
+Env knobs: HNSW_BENCH_N (default 1_000_000), HNSW_BENCH_QUICK=1 (100k).
 """
 
 import json
@@ -15,7 +26,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
 
 def main() -> None:
@@ -24,78 +36,136 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    import functools
+
     import jax.numpy as jnp
     import numpy as np
 
     from hnsw_rs_tpu import HNSW
-    from hnsw_rs_tpu.models.hnsw import _ann_jit
+    from hnsw_rs_tpu.models.flat import _flat_search_tiled
+    from hnsw_rs_tpu.models.hnsw import _ann_jit, _ann_packed_jit
+    from hnsw_rs_tpu.ops.distance import point_normsq
     from hnsw_rs_tpu.ops.quant import dequantize, quantize
-    from hnsw_rs_tpu.utils import brute_force_nns, load_glove_array
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    _, stored = load_glove_array(os.path.join(root, "test-data", "store.txt"))
-    _, queries = load_glove_array(os.path.join(root, "test-data", "queries.txt"))
-    k = 10
+    N = int(os.environ.get("HNSW_BENCH_N", "1000000"))
+    if os.environ.get("HNSW_BENCH_QUICK"):
+        N = 100_000
+    D, K, M, EF_CONS, NQ = 96, 10, 16, 96, 1024
+    cache = os.path.join(ROOT, ".bench_cache")
+    tag = f"n{N}_d{D}_m{M}_efc{EF_CONS}"
+    idx_dir = os.path.join(cache, f"idx_{tag}")
+    gt_path = os.path.join(cache, f"gt_{tag}.npz")
+    meta_path = os.path.join(cache, f"meta_{tag}.json")
+    os.makedirs(cache, exist_ok=True)
 
-    def build():
-        idx = HNSW(12, dim=stored.shape[1])
-        idx.insert_bulk(stored)
-        # force device completion via tiny checksums
-        for a in idx.graph.adjs:
-            int(jnp.sum(jnp.abs(a) % 7))
-        return idx
+    ds = synthetic_clustered(N, D, n_queries=NQ, seed=42)
 
-    index = build()  # pays compilation
-    t0 = time.time()
-    index = build()  # compile-cache warm: real build throughput
-    build_s = time.time() - t0
-    build_rate = len(index) / build_s
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
 
-    truth = brute_force_nns(queries, index.points.codes, index.points.scales, k)
+    if os.path.isdir(idx_dir) and "build_rate" in meta:
+        index = HNSW.load(idx_dir)
+        build_rate = meta["build_rate"]
+    else:
+        def timed_build():
+            t0 = time.time()
+            idx = HNSW(M, ef_cons=EF_CONS, dim=D)
+            idx.insert_bulk(ds.train)
+            for a in idx.graph.adjs:  # force completion via tiny checksums
+                int(jnp.sum(jnp.abs(a) % 7))
+            return idx, time.time() - t0
 
-    adjs = tuple(index.graph.adjs)
-    codes, scales = index._serving_table(), index.points.scales
+        index, first_s = timed_build()  # pays remote compiles when cold
+        index, build_s = timed_build()  # compile-cache warm: real rate
+        build_rate = N / build_s
+        index.save(idx_dir)
+        meta["build_rate"] = build_rate
+        meta["build_s"] = build_s
+        meta["build_s_cold"] = first_s
+
+    # single-core CPU baselines (measured on a 100k slice; the full-N
+    # sequential build would take ~10 min of bench budget). Rates fall
+    # slowly with N, so a 100k-slice rate FLATTERS the baseline — fine.
+    if "cpu_build_vps" not in meta:
+        from hnsw_rs_tpu.native import baseline_build_rate
+
+        nb = min(N, 100_000)
+        r = baseline_build_rate(ds.train[:nb], m=M, ef_cons=EF_CONS)
+        meta["cpu_build_vps"] = round(r[1], 1) if r else None
+        meta["cpu_build_n"] = nb
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    # exact quantized-space ground truth (cached)
+    if os.path.exists(gt_path):
+        truth = np.load(gt_path)["ids"]
+    else:
+        qq = dequantize(*quantize(jnp.asarray(ds.test)))
+        normsq = point_normsq(index.points.codes, index.points.scales)
+        _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
+            qq, index.points.codes, index.points.scales, normsq
+        )
+        truth = np.asarray(ti)[:, :K]
+        np.savez_compressed(gt_path, ids=truth)
+
+    index.finalize()  # packed-neighbor serving layout
+    codes, scales = index.points.codes, index.points.scales
+    packed0 = index._packed0
+    adjs_upper = tuple(index.graph.adjs[1:])
     ep = jnp.asarray(index.params.ep, jnp.int32)
+    truth_sets = [set(t) for t in truth]
 
-    # smallest ef from the sweep that clears the 0.99 recall gate
+    # smallest ef clearing the 0.99 recall gate
     chosen = None
-    for ef in (24, 32, 40, 48, 64, 100):
-        _, ann = index.ann_batch(queries, k, ef)
-        recall = np.mean([len(set(a) & set(b)) / k for a, b in zip(ann, truth)])
+    for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256):
+        _, ann = index.ann_batch(ds.test, K, ef)
+        recall = float(
+            np.mean([len(set(a) & t) / K for a, t in zip(ann, truth_sets)])
+        )
         if recall >= 0.99:
-            chosen = (ef, float(recall))
+            chosen = (ef, recall)
             break
     if chosen is None:
-        chosen = (100, float(recall))
+        chosen = (ef, recall)
     ef, recall = chosen
     max_iters = 2 * ef + 16
 
-    import functools
-
+    # NB: big arrays must be jit ARGUMENTS — closure capture bakes them
+    # into the HLO as constants and the dev tunnel's remote compiler
+    # rejects the multi-GB request body (HTTP 413)
     @functools.partial(jax.jit, static_argnames=("ef", "k", "mi"))
-    def search_sum(q, ef, k, mi):
-        d, i = _ann_jit(adjs, codes, scales, q, ep, ef, k, mi)
+    def search_sum(adjs_upper, packed0, codes, scales, q, ep, ef, k, mi):
+        d, i = _ann_packed_jit(
+            adjs_upper, packed0, codes, scales, q, ep, ef, k, mi
+        )
         return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
     batch = 16384
-    reps = int(np.ceil(batch / queries.shape[0]))
-    big = np.tile(queries, (reps, 1))[:batch]
-    qc, qs = quantize(jnp.asarray(big))
-    q = dequantize(qc, qs)
+    big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
+    q = dequantize(*quantize(jnp.asarray(big)))
 
-    int(search_sum(q, ef, k, max_iters))  # warm/compile
+    args = (adjs_upper, packed0, codes, scales, q, ep)
+    int(search_sum(*args, ef, K, max_iters))  # compile + warm
     t0 = time.time()
     iters = 0
     while time.time() - t0 < 5.0 or iters < 3:
-        int(search_sum(q, ef, k, max_iters))
+        int(search_sum(*args, ef, K, max_iters))
         iters += 1
-    dt = time.time() - t0
-    qps = batch * iters / dt
+    qps = batch * iters / (time.time() - t0)
 
+    cpu_bv = meta.get("cpu_build_vps")
+    bx = f", {build_rate / cpu_bv:.1f}x 1-core C++ {cpu_bv:.0f}" if cpu_bv else ""
     print(
         json.dumps(
             {
-                "metric": f"QPS/chip at recall@10>=0.99 (GloVe 50d, ef={ef}, recall={recall:.3f}; build {build_rate:.0f} vec/s)",
+                "metric": (
+                    f"QPS/chip at recall@10>=0.99, N={N} d={D} synthetic-"
+                    f"clustered (ef={ef}, recall={recall:.3f}; build "
+                    f"{build_rate:.0f} vec/s{bx} vec/s)"
+                ),
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / 300.0, 2),

@@ -80,7 +80,7 @@ def run(name, fn, q, codes, scales, normsq, ref=None):
         rd, ri = ref
         match = float(jnp.mean((i == ri).astype(jnp.float32)))
         note = f" id-match={match:.4f}"
-    print(f"{name:>10}: {t*1e3:8.2f} ms  {qps:10,.0f} QPS{note}")
+    print(f"{name:>10}: {t*1e3:8.2f} ms  {qps:10,.0f} QPS{note}", flush=True)
     return d, i
 
 def packed_gather_bench(n, rowbytes, b, iters_chain=20):
@@ -108,11 +108,23 @@ if __name__ == "__main__":
     xq = jnp.asarray(codes, jnp.float32) * scales[:, 1:2] + scales[:, 0:1]
     normsq = jnp.sum(xq*xq, -1)
     q = jnp.asarray(rng.random((B, D), np.float32))
-    print(f"== flat top-{K} at N={N} d={D} B={B} ==")
-    ref = run("fullsort", v_fullsort, q, codes, scales, normsq)
-    run("topk", v_topk, q, codes, scales, normsq, ref)
-    run("approx", v_approx, q, codes, scales, normsq, ref)
-    run("tiled", v_tiled, q, codes, scales, normsq, ref)
+    import sys
+    which = sys.argv[1] if len(sys.argv) > 1 else "tiled"
+    print(f"== flat top-{K} at N={N} d={D} B={B} ==", flush=True)
+    fns = {"fullsort": v_fullsort, "topk": v_topk, "approx": v_approx,
+           "tiled": v_tiled}
+    if which in fns:
+        d_, i_ = run(which, fns[which], q, codes, scales, normsq)
+        # exactness spot-check vs numpy on 16 queries
+        import numpy as _np
+        xs = _np.asarray(xq)
+        for r in range(4):
+            dd = _np.sum((xs - _np.asarray(q)[r][None, :])**2, axis=1)
+            want = _np.argsort(dd, kind="stable")[:K]
+            got = _np.asarray(i_[r])
+            print(f"  q{r} exact-match: {sorted(got.tolist()) == sorted(want.tolist())}", flush=True)
+        raise SystemExit
+
     print("== packed row gather (B rows of cap*(d+12) bytes) ==")
     for rowb in (2048, 4608):   # d=50 and d=128 packed rows, cap=32
         for b in (4096, 16384):

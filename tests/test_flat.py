@@ -118,3 +118,34 @@ def test_degrees_and_caps():
     g = LayeredGraph(m=2, n=4)
     g.ensure_level(1)
     assert g.layer_cap(0) == 4 and g.layer_cap(1) == 2
+
+def test_flat_tiled_matches_sort_path():
+    # the tiled streaming top-k (N > _SORT_PATH_MAX) must agree with the
+    # small-N sort path on the same data
+    import jax.numpy as jnp
+    from hnsw_rs_tpu.models.flat import (
+        _SORT_PATH_MAX, _flat_search, _flat_search_tiled,
+    )
+    from hnsw_rs_tpu.ops.distance import point_normsq
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+
+    n = _SORT_PATH_MAX + 1337  # forces padding in the tiled path
+    rng = np.random.default_rng(5)
+    codes, scales = quantize(jnp.asarray(rng.random((n, 12), np.float32)))
+    normsq = point_normsq(codes, scales)
+    q = dequantize(*quantize(jnp.asarray(rng.random((8, 12), np.float32))))
+    # same affine distances through the full two-key sort (apples to apples)
+    from hnsw_rs_tpu.ops.distance import pairwise_l2sq_mxu
+    from hnsw_rs_tpu.ops.topk import topk_dist_id
+
+    d2 = pairwise_l2sq_mxu(q, codes, scales, normsq)
+    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), d2.shape)
+    d_sort, i_sort = topk_dist_id(d2, ids, 10)
+    d_tile, i_tile = _flat_search_tiled(q, codes, scales, normsq, 10)
+    np.testing.assert_array_equal(np.asarray(i_sort), np.asarray(i_tile))
+    np.testing.assert_allclose(
+        np.sqrt(np.asarray(d_sort)), np.asarray(d_tile), rtol=1e-5
+    )
+    # the public API routes large-N inexact searches through the tiled path
+    d_api, i_api = _flat_search(q, codes, scales, normsq, 10, False)
+    np.testing.assert_array_equal(np.asarray(i_api), np.asarray(i_tile))

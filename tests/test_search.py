@@ -164,3 +164,52 @@ def test_seed_entry():
     assert np.all(np.asarray(e_ids) == 7)
     for i in range(3):
         assert float(e_d2[i, 0]) == d2(q[i], X[7])
+
+def test_packed_search_matches_plain():
+    # packed-neighbor serving layout must return bit-identical results
+    import numpy as np
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.utils import gen_rand_vecs
+
+    vecs = gen_rand_vecs(400, 24, seed=31)
+    index = HNSW(8, dim=24)
+    index.insert_bulk(vecs)
+    q = gen_rand_vecs(32, 24, seed=32)
+    d1, i1 = index.ann_batch(q, 10, 48)
+    index.finalize()
+    d2, i2 = index.ann_batch(q, 10, 48)
+    np.testing.assert_array_equal(i1, i2)
+    # same dequantize math, but XLA fusion order may differ by 1 ULP
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    # stale pack after insert is bypassed, not served
+    index.insert_vec(gen_rand_vecs(1, 24, seed=33)[0])
+    v = index.get_point(400).values
+    ids = index.ann_by_vector(v, 1, 48)
+    assert int(ids[0]) == 400
+    # re-finalize picks the new point back up on the packed path
+    index.finalize()
+    ids = index.ann_by_vector(v, 1, 48)
+    assert int(ids[0]) == 400
+
+def test_expand_e_recall_not_worse():
+    # E-way expansion: recall per ef must be >= the exact E=1 beam
+    import numpy as np
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.utils import brute_force_nns, gen_rand_vecs
+
+    vecs = gen_rand_vecs(600, 16, seed=41)
+    q = gen_rand_vecs(32, 16, seed=42)
+    index = HNSW(8, dim=16)
+    index.insert_bulk(vecs)
+    truth = brute_force_nns(q, index.points.codes, index.points.scales, 10)
+    index.finalize(expand=1)
+    _, i1 = index.ann_batch(q, 10, 32)
+    index.finalize(expand=4)
+    _, i4 = index.ann_batch(q, 10, 32)
+    r1 = np.mean([len(set(a) & set(t)) / 10 for a, t in zip(i1, truth)])
+    r4 = np.mean([len(set(a) & set(t)) / 10 for a, t in zip(i4, truth)])
+    assert r4 >= r1 - 1e-9, (r4, r1)
+    # no duplicate ids in any result row
+    for row in np.asarray(i4):
+        real = row[row != np.iinfo(np.int32).max]
+        assert len(set(real.tolist())) == len(real)
