@@ -92,11 +92,16 @@ class HNSW:
         self._packed0 = None
         self._packed_n = -1
         self.serve_expand = 1
+        # pending incremental inserts, batched into waves (amortizes the
+        # one-wave-per-insert_vec dispatch, ~214 ms/call on the dev
+        # tunnel); flushed on any read or at pending_flush_size
+        self._pending: list[np.ndarray] = []
+        self.pending_flush_size = 1024
 
     # -- basics ------------------------------------------------------------
 
     def __len__(self) -> int:
-        return len(self.points)
+        return len(self.points) + len(self._pending)
 
     @property
     def ep(self) -> int:
@@ -104,11 +109,14 @@ class HNSW:
 
     def distance(self, a: int, b: int) -> float:
         """True L2 between stored points (``template.rs:150-152``)."""
+        self.flush()
         return self.points.distance(a, b)
 
     def get_point(self, point_id: int) -> Point | None:
         if point_id < 0 or point_id >= len(self):
             return None
+        if point_id >= len(self.points):
+            self.flush()
         return Point(
             id=point_id,
             level=int(self.points.levels[point_id]),
@@ -136,6 +144,7 @@ class HNSW:
         non-empty index the new points are wave-inserted per layer
         top-down. Returns self.
         """
+        self.flush()
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         self._check_dim(vectors)
         vectors = self._maybe_normalize(vectors)
@@ -158,23 +167,46 @@ class HNSW:
 
     def insert_vec(self, vector: np.ndarray) -> int:
         """Incremental single-vector insert (``insert_vec``,
-        ``template.rs:165-173``). Returns the new point id."""
-        vector = np.asarray(vector, np.float32).reshape(1, -1)
-        self._check_dim(vector)
-        vector = self._maybe_normalize(vector)
+        ``template.rs:165-173``). Returns the new point id.
+
+        Inserts are BUFFERED and batched into waves: consecutive calls
+        accumulate host-side and flush as one wave insert on any read
+        (query/save/get_point/distance) or when ``pending_flush_size``
+        accumulate — same visible semantics (a point is searchable by the
+        time anything can search), ~1000× the sustained insert rate of
+        one dispatch per call. Call :meth:`flush` to force application.
+        """
+        vector = np.asarray(vector, np.float32).reshape(-1)
+        self._check_dim(vector[None])
         if self.params.dim == 0:
             self.params.dim = int(vector.shape[-1])
             self.points = PointStore.empty(self.params.dim)
-        new = PointStore.from_vectors(vector, self.params.ml, seed=self._level_seed())
+        new_id = len(self)
+        self._pending.append(np.asarray(vector, np.float32))
+        if len(self._pending) >= self.pending_flush_size:
+            self.flush()
+        return new_id
+
+    def flush(self) -> "HNSW":
+        """Apply buffered :meth:`insert_vec` calls as one wave insert."""
+        if not self._pending:
+            return self
+        vectors = np.stack(self._pending)
+        self._pending = []
+        # levels for the whole batch come from one seeded draw (the level
+        # stream position still advances once per store call, like the
+        # bulk path)
+        vectors = self._maybe_normalize(vectors)
+        new = PointStore.from_vectors(
+            vectors, self.params.ml, seed=self._level_seed()
+        )
         new_ids = self.points.extend(new)
-        if len(self) == 1:  # first point: becomes EP, no edges to make
-            level = int(self.points.levels[0])
-            self.graph = LayeredGraph(self.params.m, 1)
-            self.graph.ensure_level(level)
-            self.params.ep = 0
-            return 0
-        self._extend_built(new_ids, verbose=False)
-        return int(new_ids[0])
+        if len(self.points) == vectors.shape[0]:  # was empty: fresh build
+            self.graph, ep = build_index(self.points, self.params)
+            self.params.ep = ep
+        else:
+            self._extend_built(new_ids, verbose=False)
+        return self
 
     def _maybe_normalize(self, v: np.ndarray) -> np.ndarray:
         if self.params.metric == "cosine":
@@ -235,6 +267,7 @@ class HNSW:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched queries — the TPU-native serving path. Returns
         (distances [B, n], ids [B, n])."""
+        self.flush()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         self._check_dim(queries)
         ef = max(ef, n)
@@ -279,6 +312,7 @@ class HNSW:
         per lockstep iteration (recall per ef same or better, ~E× fewer
         iterations — see ``search._beam_loop``). Re-run after inserts (a
         stale pack is detected and bypassed, never served). Returns self."""
+        self.flush()
         if len(self.graph) > 0:
             self._packed0 = pack_layer(
                 self.graph.get_layer(0), self.points.codes, self.points.scales
@@ -303,11 +337,13 @@ class HNSW:
     def layer_degrees(self, layer_nb: int) -> np.ndarray:
         """Out-degrees of the layer's member nodes
         (``template.rs:158-163``)."""
+        self.flush()
         return self.graph.layer_degrees(layer_nb, self.points.levels)
 
     def assert_param_compliance(self, verbose: bool = True) -> bool:
         """Degree caps respected and no isolated member nodes
         (``assert_param_compliance``, ``template.rs:341-370``)."""
+        self.flush()
         ok = True
         for layer_nb in range(len(self.graph)):
             cap = self.params.layer_cap(layer_nb)
@@ -342,6 +378,7 @@ class HNSW:
 
     def print_index(self) -> None:
         """Dump index stats (``print_index``, ``template.rs:372-385``)."""
+        self.flush()
         p = self.params
         print(f"m = {p.m}\nmmax = {p.mmax}\nmmax0 = {p.mmax0}")
         print(f"ml = {p.ml}\nef_cons = {p.ef_cons}")
@@ -357,6 +394,7 @@ class HNSW:
         """Checkpoint to a directory: ``params.json`` + ``arrays.npz``
         (the analogue of the reference's points/params/layers directory
         format, ``template.rs:43-73``)."""
+        self.flush()
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "params.json"), "w") as f:
             json.dump(

@@ -125,3 +125,37 @@ def test_load_then_insert(tmp_path):
     v = loaded.get_point(new_id).values
     ids = loaded.ann_by_vector(v, 1, 50)
     assert int(ids[0]) == new_id
+
+def test_insert_vec_batching():
+    # insert_vec buffers host-side and flushes as one wave on read
+    index = HNSW(M, dim=DIM)
+    index.insert_bulk(gen_rand_vecs(N, DIM, seed=30))
+    vs = gen_rand_vecs(60, DIM, seed=31)
+    ids = [index.insert_vec(v) for v in vs]
+    assert ids == list(range(N, N + 60))
+    assert len(index) == N + 60
+    assert len(index.points) == N  # nothing applied yet (buffered)
+    # a query flushes and the new points are immediately searchable
+    got = index.ann_by_vector(vs[-1], 1, 50)
+    assert int(got[0]) == N + 59
+    assert len(index.points) == N + 60
+    assert index.assert_param_compliance(verbose=True)
+    # get_point of a pending id flushes too
+    nid = index.insert_vec(gen_rand_vecs(1, DIM, seed=32)[0])
+    p = index.get_point(nid)
+    assert p is not None and p.id == nid
+    # threshold flush
+    index.pending_flush_size = 4
+    for v in gen_rand_vecs(4, DIM, seed=33):
+        index.insert_vec(v)
+    assert not index._pending
+
+
+def test_insert_vec_from_empty_buffered():
+    index = HNSW(M, dim=DIM)
+    vs = gen_rand_vecs(20, DIM, seed=34)
+    for v in vs:
+        index.insert_vec(v)
+    assert len(index) == 20
+    got = index.ann_by_vector(vs[3], 1, 50)
+    assert int(got[0]) == 3
