@@ -1,10 +1,11 @@
 """Index model families: exact flat search (MXU brute force), the HNSW
-graph index, and IVF-Flat (inverted file, the TPU-native block design)."""
+graph index, IVF-Flat (inverted file, the TPU-native block design), and
+the out-of-core paged HNSW reader."""
 
 from .flat import FlatIndex
 from .ivf import IVFFlatIndex
 
-__all__ = ["FlatIndex", "HNSW", "IVFFlatIndex"]
+__all__ = ["FlatIndex", "HNSW", "IVFFlatIndex", "PagedHNSW", "save_paged"]
 
 
 def __getattr__(name):
@@ -12,4 +13,8 @@ def __getattr__(name):
         from .hnsw import HNSW
 
         return HNSW
+    if name in ("PagedHNSW", "save_paged"):
+        from . import paged
+
+        return getattr(paged, name)
     raise AttributeError(name)

@@ -60,3 +60,28 @@ def test_streaming_search_matches_in_memory(tmp_path):
     _, got = bs.search_streaming(queries, 10, chunk_blocks=2)
     expect = brute_force_nns(queries, codes, scales, 10)
     np.testing.assert_array_equal(got, expect)
+
+
+def test_paged_hnsw_recall_parity(tmp_path):
+    # out-of-core HNSW serving: identical beam semantics paged from disk
+    # must reproduce the in-memory index's answers
+    import numpy as np
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models import PagedHNSW, save_paged
+    from hnsw_rs_tpu.utils import gen_rand_vecs
+
+    vecs = gen_rand_vecs(500, 20, seed=50)
+    q = gen_rand_vecs(24, 20, seed=51)
+    index = HNSW(8, dim=20)
+    index.insert_bulk(vecs)
+    d_mem, i_mem = index.ann_batch(q, 10, 40)
+    p = str(tmp_path / "paged_idx")
+    save_paged(index, p)
+    paged = PagedHNSW(p, cache_blocks=4)  # tiny cache: force real paging
+    d_pg, i_pg = paged.ann_batch(q, 10, 40)
+    assert len(paged) == 500
+    np.testing.assert_array_equal(i_mem, i_pg)
+    np.testing.assert_allclose(d_mem, d_pg, rtol=1e-5)
+    # single-vector API + self-match through the paged path
+    got = paged.ann_by_vector(vecs[7], 1, 40)
+    assert int(got[0]) == 7
