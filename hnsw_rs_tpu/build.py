@@ -304,6 +304,113 @@ _insert_wave_fused = functools.partial(
 
 
 # ---------------------------------------------------------------------------
+# connectivity backstop
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _any_bad_jit(adj, indeg, levels_dev, layer_nb, n):
+    """True iff any layer member has out-degree 0 or in-degree 0."""
+    member = levels_dev[:n] >= layer_nb
+    outdeg = jnp.sum(adj[:n] >= 0, axis=1)
+    bad = member & ((outdeg == 0) | ((indeg[:n] == 0) & (outdeg > 0)))
+    return jnp.any(bad)
+
+
+def repair_connectivity(
+    graph: LayeredGraph, store: PointStore, max_rounds: int = 5
+) -> int:
+    """Enforce the reference's min-degree invariant globally.
+
+    The in-jit orphan repair in :func:`_apply_wave_impl` is slot-bounded:
+    when one wave floods a near-empty layer (hundreds of nodes whose
+    nearest neighbor is the same hub), more orphans map to a target than
+    it has slots, and a few member nodes end the build with in-degree 0
+    (or, evicted hard enough, out-degree 0). The reference's undirected
+    graph cannot express this state (``assert_param_compliance`` demands
+    min degree >= 1, ``template.rs:356-367``), so after a build/extend we
+    sweep each layer on the host and fix the stragglers:
+
+    - a member with an empty row gets its ``min(cap, k)`` nearest members
+      as out-neighbors (``select_simple`` semantics);
+    - a member with in-degree 0 is written into its nearest member's row
+      — into a free slot if any, else evicting the farthest neighbor
+      whose own in-degree exceeds 1.
+
+    Host-side and O(bad_nodes * N) — this is a rarely-triggered backstop,
+    not a hot path (zero bad nodes in normal ramped builds). Returns the
+    number of repairs applied.
+    """
+    import jax.numpy as jnp
+
+    levels = np.asarray(store.levels)
+    n = len(store)
+    levels_dev = jnp.asarray(levels, jnp.int8)
+    fixes = 0
+    for layer_nb in range(len(graph)):
+        member = np.flatnonzero(levels >= layer_nb)
+        if member.size <= 1:
+            continue
+        # detect ON DEVICE first — one scalar fetch; the full adjacency
+        # only crosses the (slow) device->host pipe when something is
+        # actually broken, which ramped builds never trigger
+        if not bool(
+            _any_bad_jit(
+                graph.get_layer(layer_nb), graph.indeg(layer_nb),
+                levels_dev, layer_nb, n,
+            )
+        ):
+            continue
+        adj_full = np.asarray(graph.get_layer(layer_nb))
+        adj = adj_full[:n].copy()
+        vals = None  # dequantized member table, built lazily per layer
+        changed = False
+        for _ in range(max_rounds):
+            outdeg = (adj[member] >= 0).sum(1)
+            indeg = np.bincount(adj[adj >= 0], minlength=n)
+            bad_out = member[outdeg == 0]
+            bad_in = member[(indeg[member] == 0) & (outdeg > 0)]
+            if bad_out.size == 0 and bad_in.size == 0:
+                break
+            if vals is None:
+                codes = np.asarray(store.codes)[:n]
+                scales = np.asarray(store.scales)[:n]
+                vals = (
+                    codes[member].astype(np.float32) * scales[member, 1:2]
+                    + scales[member, 0:1]
+                )
+            changed = True
+            for x in np.concatenate([bad_out, bad_in]):
+                xi = np.searchsorted(member, x)
+                d2x = np.einsum(
+                    "md,md->m", vals - vals[xi], vals - vals[xi],
+                    dtype=np.float32,
+                )
+                d2x[xi] = np.inf
+                order = member[np.argsort(d2x, kind="stable")]
+                if (adj[x] >= 0).sum() == 0:  # empty row: nearest members
+                    k = min(adj.shape[1], order.size)
+                    adj[x, :k] = order[:k]
+                    fixes += 1
+                # reverse edge into the nearest member's row
+                t = int(order[0])
+                if x in adj[t]:
+                    continue
+                free = np.flatnonzero(adj[t] < 0)
+                if free.size:
+                    adj[t, free[0]] = x
+                else:
+                    evictable = np.flatnonzero(indeg[adj[t]] > 1)
+                    slot = int(evictable[-1]) if evictable.size else adj.shape[1] - 1
+                    adj[t, slot] = x
+                fixes += 1
+        if changed:
+            adj_full = adj_full.copy()
+            adj_full[:n] = adj
+            graph.set_layer(layer_nb, jnp.asarray(adj_full), indeg=None)
+    return fixes
+
+
+# ---------------------------------------------------------------------------
 # host orchestration
 
 
@@ -381,4 +488,5 @@ def build_index(
             wave_base, wave_growth, wave_cap,
         )
     bar.finish()
+    repair_connectivity(graph, store)
     return graph, ep

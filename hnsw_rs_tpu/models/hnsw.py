@@ -246,6 +246,9 @@ class HNSW:
                 self.params.ep, max_iters, bar, **build_kwargs,
             )
         bar.finish()
+        from ..build import repair_connectivity
+
+        repair_connectivity(self.graph, self.points)
         if new_top > old_top:
             self.params.ep = int(new_ids[np.argmax(new_lv)])
 

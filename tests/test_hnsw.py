@@ -159,3 +159,29 @@ def test_insert_vec_from_empty_buffered():
     assert len(index) == 20
     got = index.ann_by_vector(vs[3], 1, 50)
     assert int(got[0]) == 3
+
+def test_hub_node_reverse_edge_overflow():
+    # adversarial hub: one existing point at the center, then a single
+    # large wave of points in a tight shell around it — nearly every wave
+    # node selects the hub, overflowing the 2*cap reverse-edge slots in
+    # _apply_wave (build.py). The contract: degree caps hold, nothing is
+    # orphaned, and every point stays reachable.
+    rng = np.random.default_rng(70)
+    dim, nw = 8, 500
+    center = np.full((1, dim), 0.5, np.float32)
+    shell = rng.normal(0, 1, (nw, dim)).astype(np.float32)
+    shell /= np.linalg.norm(shell, axis=1, keepdims=True)
+    shell = center + 0.05 * shell  # tight shell: hub is everyone's nearest
+    index = HNSW(8, dim=dim)
+    index.insert_bulk(center)
+    # one wave, no ramp: maximum same-target pressure
+    index.insert_bulk(shell, wave_base=nw, wave_cap=nw)
+    assert index.assert_param_compliance(verbose=True)
+    # the hub kept only its cap nearest, but every shell point must
+    # still be findable (reverse-overflow must not shed reachability)
+    qs = shell[::7]
+    _, ids = index.ann_batch(qs, 1, 64)
+    hits = np.mean(ids[:, 0] == 1 + np.arange(0, nw, 7))
+    assert hits >= 0.97, f"self-match {hits}"
+    # and the hub itself resolves
+    assert int(index.ann_by_vector(center[0], 1, 64)[0]) == 0

@@ -33,8 +33,10 @@ def test_concurrent_matches_sequential_quality():
     _, ids_s = seq.ann_batch(queries, 10, 60)
     rs = recall(ids_s, truth)
 
-    assert rc > 0.93, f"concurrent recall {rc}"
-    assert rc >= rs - 0.05, f"concurrent {rc} vs sequential {rs}"
+    # measured headroom: both paths sit at 1.0 on this config — keep the
+    # gate tight so a real quality regression cannot hide in slack
+    assert rc > 0.97, f"concurrent recall {rc}"
+    assert rc >= rs - 0.02, f"concurrent {rc} vs sequential {rs}"
     assert np.all((ids_c >= 0) & (ids_c < N))
 
 
