@@ -33,3 +33,26 @@ def test_pallas_aligned_shapes():
     )
     want = np.asarray(pairwise_l2sq_exact(q, codes, scales))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_groupmin_topk_matches_sort():
+    # fused Pallas distance+group-min (interpret mode) == affine + full sort
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_rs_tpu.ops.distance import pairwise_l2sq_mxu, point_normsq
+    from hnsw_rs_tpu.ops.pallas.l2_groupmin import flat_topk_fused
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+    from hnsw_rs_tpu.ops.topk import topk_dist_id
+
+    rng = np.random.default_rng(8)
+    n, d, b, k = 4100, 24, 12, 10  # non-multiples: exercises padding
+    codes, scales = quantize(jnp.asarray(rng.random((n, d), np.float32)))
+    normsq = point_normsq(codes, scales)
+    q = dequantize(*quantize(jnp.asarray(rng.random((b, d), np.float32))))
+    d2 = pairwise_l2sq_mxu(q, codes, scales, normsq)
+    ids = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), d2.shape)
+    rd, ri = topk_dist_id(d2, ids, k)
+    fd, fi = flat_topk_fused(q, codes, scales, normsq, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+    np.testing.assert_allclose(np.asarray(rd), np.asarray(fd), rtol=1e-5)
