@@ -27,6 +27,11 @@ _SORT_PATH_MAX = 32768  # below this, one two-key sort is cheap and gives
 _TILE = 131072
 
 
+def _on_tpu() -> bool:
+    dev = jax.devices()[0]
+    return "tpu" in (dev.platform + " " + dev.device_kind).lower()
+
+
 @functools.partial(jax.jit, static_argnames=("k", "exact"))
 def _flat_search(q, codes, scales, normsq, k: int, exact: bool):
     n = codes.shape[0]
@@ -125,7 +130,11 @@ class FlatIndex:
         return np.arange(start, start + vectors.shape[0], dtype=np.int32)
 
     def search(
-        self, queries: np.ndarray, k: int, exact: bool = False
+        self,
+        queries: np.ndarray,
+        k: int,
+        exact: bool = False,
+        fused: bool | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact top-k: returns (distances [B, k], ids [B, k]).
 
@@ -133,7 +142,11 @@ class FlatIndex:
         ``hnsw/src/template.rs:313``) so distances live in the same
         quantized space as the HNSW path. ``exact=True`` uses the direct
         (cancellation-free) distance form for oracle use; the default MXU
-        form is the fast path.
+        form is the fast path. ``fused`` selects the Pallas fused
+        distance+group-min kernel (the [B, N] matrix never hits HBM —
+        ``ops/pallas/l2_groupmin.py``); by default it is used on TPU for
+        quantized collections above the sort-path cutoff, where it is the
+        fastest exact path. On CPU it runs in interpret mode (tests only).
         """
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         if self.metric == "cosine":
@@ -143,5 +156,22 @@ class FlatIndex:
             q = dequantize(qc, qs)
         else:
             q = queries
+        if fused is None:
+            fused = (
+                not exact
+                and self.quantized
+                and len(self) > _SORT_PATH_MAX
+                and _on_tpu()
+            )
+        if fused:
+            if not self.quantized:
+                raise ValueError("fused path requires a quantized collection")
+            from ..ops.pallas.l2_groupmin import flat_topk_fused
+
+            d2, i = flat_topk_fused(
+                q, self.codes, self.scales, self._normsq, k,
+                interpret=not _on_tpu(),
+            )
+            return np.asarray(jnp.sqrt(d2)), np.asarray(i)
         d, i = _flat_search(q, self.codes, self.scales, self._normsq, k, exact)
         return np.asarray(d), np.asarray(i)
