@@ -49,3 +49,76 @@ def test_ivf_distances_sorted():
     d, i = ivf.search(gen_rand_vecs(5, 8, seed=4), 7)
     assert np.all(np.diff(d, axis=1) >= 0)
     assert np.all((i >= 0) & (i < 300))
+
+
+def test_ivf_quantized_blocks_match_f32_blocks():
+    # default u8 block storage gives IDENTICAL results to f32 blocks
+    # (dequantization is exact)
+    vecs = gen_rand_vecs(800, 20, seed=5)
+    queries = gen_rand_vecs(16, 20, seed=6)
+    a = IVFFlatIndex(20, n_lists=16, quantized_blocks=True)
+    b = IVFFlatIndex(20, n_lists=16, quantized_blocks=False)
+    a.train_add(vecs)
+    b.train_add(vecs)
+    da, ia = a.search(queries, 8, n_probe=6)
+    db, ib = b.search(queries, 8, n_probe=6)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-6, atol=1e-6)
+
+
+def test_ivf_incremental_add_and_full_probe_exact():
+    d = 12
+    first, second = gen_rand_vecs(600, d, seed=7), gen_rand_vecs(250, d, seed=8)
+    queries = gen_rand_vecs(20, d, seed=9)
+    ivf = IVFFlatIndex(d, n_lists=16)
+    ids0 = ivf.train_add(first)
+    ids1 = ivf.add(second)
+    assert len(ivf) == 850
+    assert ids1[0] == 600 and ids1[-1] == 849  # stable row ids
+    flat = FlatIndex(d)
+    flat.add(np.concatenate([first, second]))
+    _, truth = flat.search(queries, 10, exact=True)
+    _, ids = ivf.search(queries, 10, n_probe=16)  # probe all -> exact
+    assert recall(ids, truth, 10) == 1.0
+    # added points are individually findable
+    _, self_ids = ivf.search(second[:32], 1, n_probe=4)
+    assert np.mean(self_ids[:, 0] == 600 + np.arange(32)) == 1.0
+
+
+def test_ivf_add_on_untrained_trains():
+    vecs = gen_rand_vecs(300, 8, seed=10)
+    ivf = IVFFlatIndex(8, n_lists=8)
+    ids = ivf.add(vecs)
+    assert len(ivf) == 300 and ids[-1] == 299
+    assert ivf.centroids is not None
+
+
+def test_ivf_retrain_rebalances_lists_after_drift():
+    d = 16
+    base = gen_rand_vecs(500, d, seed=11)
+    drift = gen_rand_vecs(500, d, seed=12) + 4.0  # far-away mode
+    queries = drift[:24] + 0.01
+    flat = FlatIndex(d)
+    flat.add(np.concatenate([base, drift]))
+    _, truth = flat.search(queries, 10, exact=True)
+    ivf = IVFFlatIndex(d, n_lists=25, n_probe=3)
+    ivf.train_add(base)  # centroids know nothing of the drift mode
+    ivf.add(drift)       # all drift points pile into a few lists
+    lmax_before = int(ivf.blocks.shape[1])
+    ivf.retrain()
+    # retraining moves centroids into the new mode: the padded block
+    # width (= max list occupancy = per-probe work) shrinks a lot and
+    # recall on the drifted mode stays high at a small probe count
+    assert int(ivf.blocks.shape[1]) < 0.5 * lmax_before
+    # equal-work comparison: 12 probes x the new (small) width is still
+    # less than half of 3 probes x the old width, and recall is high
+    assert 12 * int(ivf.blocks.shape[1]) < 0.5 * (3 * lmax_before)
+    _, ids_after = ivf.search(queries, 10, n_probe=12)
+    assert recall(ids_after, truth, 10) > 0.95
+
+
+def test_ivf_untrained_search_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        IVFFlatIndex(8).search(gen_rand_vecs(2, 8, seed=13), 3)
