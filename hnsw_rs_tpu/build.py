@@ -67,11 +67,13 @@ def wave_schedule(count: int, base: int = 16, growth: float = 0.5, cap: int = 40
 
 
 def _bucket(w: int, buckets=(16, 64, 256, 1024, 4096)) -> int:
-    """Pad a wave size up to a static bucket to bound recompilation."""
+    """Pad a wave size up to a static bucket to bound recompilation.
+    Above the largest bucket (wave_cap > 4096), round up to the next
+    power of two."""
     for b in buckets:
         if w <= b:
             return b
-    return buckets[-1]
+    return 1 << (w - 1).bit_length()
 
 
 # ---------------------------------------------------------------------------
@@ -89,16 +91,25 @@ def _wave_layer_step_impl(
     m: int,
     max_iters: int,
     extend_cands: bool = True,
+    expand_e: int = 1,
 ):
     """One layer of the insertion pipeline for a whole wave
     (``Inserter::traverse_layers_below`` body, ``inserter.rs:91-126``):
     beam search with ``ef_cons`` then select_heuristic(m, extend=True,
     keep_pruned=True). Returns (neighbors_d2 [W, m], neighbors_ids [W, m],
-    next-layer entry = the heuristic's selected set)."""
+    next-layer entry = the heuristic's selected set).
+
+    ``expand_e`` > 1 pops E beam entries per lockstep iteration in the
+    construction search (see ``search._beam_loop``): the candidate set
+    discovered is a superset of some E=1 prefix, so graph quality holds
+    while iteration count drops ~E× — a build-throughput knob
+    (``HNSW.insert_bulk(build_expand=...)``). E=1 is the oracle-pinned
+    reference semantics."""
     safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
     q = dequantize(codes[safe], scales[safe])
     beam_d2, beam_ids = search_layer(
-        adj, codes, scales, q, entry_d2, entry_ids, ef, max_iters, forbid=ids_w
+        adj, codes, scales, q, entry_d2, entry_ids, ef, max_iters,
+        forbid=ids_w, expand_e=expand_e,
     )
     sel_d2, sel_ids = select_heuristic(
         adj, codes, scales, q, beam_d2, beam_ids, m,
@@ -240,7 +251,8 @@ def _prot_sort(prot, d2, ids):
 
 
 _wave_layer_step = functools.partial(
-    jax.jit, static_argnames=("ef", "m", "max_iters", "extend_cands")
+    jax.jit,
+    static_argnames=("ef", "m", "max_iters", "extend_cands", "expand_e"),
 )(_wave_layer_step_impl)
 _apply_wave = jax.jit(_apply_wave_impl)
 
@@ -257,6 +269,7 @@ def _insert_wave_fused_impl(
     max_iters: int,
     layer_nb: int,
     extend_cands: bool = True,
+    expand_e: int = 1,
 ):
     """One whole wave as a single dispatch: greedy descent above the home
     layer, then (beam search -> select_heuristic -> apply) for every layer
@@ -286,6 +299,7 @@ def _insert_wave_fused_impl(
         sel_d2, sel_ids = _wave_layer_step_impl(
             adjs[lam], codes, scales, ids_w, entry_d2, entry_ids,
             ef=ef, m=m, max_iters=max_iters, extend_cands=extend_cands,
+            expand_e=expand_e,
         )
         results.append((lam, sel_d2, sel_ids))
         entry_d2, entry_ids = sel_d2, sel_ids
@@ -298,7 +312,7 @@ def _insert_wave_fused_impl(
 
 _insert_wave_fused = functools.partial(
     jax.jit,
-    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
+    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e"),
     donate_argnames=("adjs", "indegs"),
 )(_insert_wave_fused_impl)
 
@@ -426,6 +440,7 @@ def insert_waves(
     wave_base: int = 16,
     wave_growth: float = 0.5,
     wave_cap: int = 4096,
+    build_expand: int = 1,
 ) -> None:
     """Insert ``home_ids`` (all of level == layer_nb) wave by wave.
 
@@ -451,6 +466,7 @@ def insert_waves(
             adjs, indegs, codes, scales, ids_w, ep_dev,
             ef=params.ef_cons, m=params.m, max_iters=max_iters,
             layer_nb=layer_nb, extend_cands=params.extend_cands,
+            expand_e=build_expand,
         )
         for lam in range(nlayers):
             graph.set_layer(lam, new_adjs[lam], new_indegs[lam])
@@ -466,6 +482,7 @@ def build_index(
     wave_base: int = 16,
     wave_growth: float = 0.5,
     wave_cap: int = 4096,
+    build_expand: int = 1,
 ) -> tuple[LayeredGraph, int]:
     """Build the full layered graph for ``store`` (``insert_bulk``,
     ``template.rs:388-445``): per layer top-down, wave-insert that layer's
@@ -485,7 +502,7 @@ def build_index(
         home = np.flatnonzero(levels == layer_nb).astype(np.int32)
         insert_waves(
             graph, store, params, home, layer_nb, ep, max_iters, bar,
-            wave_base, wave_growth, wave_cap,
+            wave_base, wave_growth, wave_cap, build_expand,
         )
     bar.finish()
     repair_connectivity(graph, store)

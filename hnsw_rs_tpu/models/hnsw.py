@@ -143,6 +143,12 @@ class HNSW:
         On an empty index this is a from-scratch wave-parallel build; on a
         non-empty index the new points are wave-inserted per layer
         top-down. Returns self.
+
+        ``build_kwargs``: ``wave_base``/``wave_growth``/``wave_cap`` (wave
+        schedule — speed vs intra-wave blindness), ``build_expand`` (E>1
+        pops per construction-search iteration, ~E× fewer beam iterations
+        at held quality — see ``build._wave_layer_step_impl``),
+        ``max_iters``.
         """
         self.flush()
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))

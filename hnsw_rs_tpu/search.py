@@ -290,6 +290,7 @@ def search_layer(
     max_iters: int,
     forbid: jnp.ndarray | None = None,
     ring_size: int = 0,
+    expand_e: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched beam search over one layer (HNSW Algorithm 2;
     ``searcher.rs:23-103``).
@@ -321,7 +322,8 @@ def search_layer(
         return nbrs, vecs
 
     return _beam_loop(
-        fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, forbid, ring_size
+        fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, forbid,
+        ring_size, expand_e,
     )
 
 

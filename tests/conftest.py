@@ -19,6 +19,25 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache + per-module executable eviction: the full
+# suite compiles 100+ distinct programs, and the XLA:CPU compiler has
+# been observed to SEGFAULT deep in LLVM once that much compiled state
+# accumulates in one process (reproducible at ~suite-end, never in
+# isolation). The disk cache makes reruns skip LLVM entirely; clearing
+# JAX's executable caches between modules bounds in-process accumulation.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache_tests")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_state():
+    yield
+    jax.clear_caches()
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -185,3 +185,33 @@ def test_hub_node_reverse_edge_overflow():
     assert hits >= 0.97, f"self-match {hits}"
     # and the hub itself resolves
     assert int(index.ann_by_vector(center[0], 1, 64)[0]) == 0
+
+
+def test_build_expand_quality_holds():
+    # E>1 construction-search pops: quality within a point of E=1 and the
+    # index stays param-compliant (superset-discovery argument in
+    # search._beam_loop)
+    import numpy as np
+
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.utils import brute_force_nns, gen_rand_vecs
+
+    vecs = gen_rand_vecs(1500, 32, seed=31)
+    queries = gen_rand_vecs(64, 32, seed=32)
+
+    def build(e):
+        idx = HNSW(12, ef_cons=48, dim=32)
+        idx.insert_bulk(vecs, build_expand=e)
+        return idx
+
+    i1, i2 = build(1), build(2)
+    assert i2.assert_param_compliance(verbose=False)
+    truth = brute_force_nns(queries, i1.points.codes, i1.points.scales, 10)
+    rec = []
+    for idx in (i1, i2):
+        _, ids = idx.ann_batch(queries, 10, 64)
+        rec.append(
+            np.mean([len(set(a) & set(t)) / 10 for a, t in zip(ids, truth)])
+        )
+    assert rec[1] >= rec[0] - 0.015, rec
+    assert rec[1] > 0.95, rec
