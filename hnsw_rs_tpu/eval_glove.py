@@ -61,7 +61,8 @@ def main(argv=None) -> int:
         index = HNSW(args.m, ef_cons=args.ef_cons, dim=stored.shape[1],
                      metric=args.metric)
         t0 = time.time()
-        index.insert_bulk(stored, verbose=verbose)
+        index.insert_bulk(stored, verbose=verbose,
+                          build_expand=args.build_expand)
         np.asarray(index.graph.get_layer(0))  # force async build completion
         dt = time.time() - t0
         log.info("built index: %d vectors in %.2fs (%.0f vec/s, includes "
@@ -75,6 +76,8 @@ def main(argv=None) -> int:
     truth = brute_force_nns(
         queries, index.points.codes, index.points.scales, args.k
     )
+    if args.expand > 1:  # packed serving layout with E-way beam pops
+        index.finalize(expand=args.expand)
     print(f"\n ef    recall@{args.k}   QPS")
     batch = args.batch or len(queries)
     reps = max(1, -(-batch // len(queries)))

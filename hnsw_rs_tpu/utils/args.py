@@ -31,6 +31,12 @@ def eval_parser() -> argparse.ArgumentParser:
                    help="construction beam width (default 2*M)")
     p.add_argument("--ef", type=int, nargs="+", default=[100],
                    help="query beam width(s) to sweep")
+    p.add_argument("--build-expand", type=int, default=1,
+                   help="beam pops per construction-search iteration "
+                   "(E>1: ~E× fewer lockstep iterations, build knob)")
+    p.add_argument("--expand", type=int, default=1,
+                   help="beam pops per serving-search iteration (packed "
+                   "layout; E>1 amortizes per-iteration fixed costs)")
     p.add_argument("--k", type=int, default=10, help="neighbors per query")
     p.add_argument("--batch", type=int, default=0,
                    help="query batch size for the QPS measurement "
