@@ -53,6 +53,63 @@ def mask_invalid(
     )
 
 
+def merge_sorted_dist_id(
+    da: jnp.ndarray,
+    ia: jnp.ndarray,
+    db: jnp.ndarray,
+    ib: jnp.ndarray,
+    ea: jnp.ndarray | None = None,
+    eb: jnp.ndarray | None = None,
+):
+    """Exact merge of two (dist asc, id asc)-SORTED runs along the last
+    axis, optionally carrying a bool payload. Returns ``(d, i[, e])`` of
+    width ``la + lb``, sorted by (dist, id).
+
+    This replaces the beam loop's full ``lax.sort`` of width ef+cap
+    (~log² comparator passes) with a bitonic MERGE (log passes): the
+    concatenation of an ascending run with the reversed other run is
+    bitonic, so log2(P) compare-exchange stages sort it. Identical output
+    to ``sort_dist_id`` whenever both inputs are sorted — the (d2, id)
+    key set is strictly ordered except for (inf, PAD_ID) padding, whose
+    payload is uniform. ~6× fewer passes at ef+cap = 160.
+    """
+    la, lb = da.shape[-1], db.shape[-1]
+    p = 1 << max(1, (la + lb - 1).bit_length())
+    pad = p - la - lb
+    carry_e = ea is not None
+    if not carry_e:
+        ea = jnp.zeros(da.shape, bool)
+        eb = jnp.zeros(db.shape, bool)
+    if pad:  # pad run b's tail before reversal: keeps it ascending
+        shape = db.shape[:-1] + (pad,)
+        db = jnp.concatenate([db, jnp.full(shape, INF, db.dtype)], -1)
+        ib = jnp.concatenate([ib, jnp.full(shape, PAD_ID, ib.dtype)], -1)
+        eb = jnp.concatenate([eb, jnp.ones(shape, bool)], -1)
+    d = jnp.concatenate([da, jnp.flip(db, -1)], -1)  # asc ++ desc = bitonic
+    i = jnp.concatenate([ia, jnp.flip(ib, -1)], -1)
+    e = jnp.concatenate([ea, jnp.flip(eb, -1)], -1)
+    s = p // 2
+    while s >= 1:
+        shp = d.shape[:-1] + (p // (2 * s), 2, s)
+        dv, iv, ev = d.reshape(shp), i.reshape(shp), e.reshape(shp)
+        d0, d1 = dv[..., 0, :], dv[..., 1, :]
+        i0, i1 = iv[..., 0, :], iv[..., 1, :]
+        e0, e1 = ev[..., 0, :], ev[..., 1, :]
+        swap = (d1 < d0) | ((d1 == d0) & (i1 < i0))
+        d = jnp.stack(
+            [jnp.where(swap, d1, d0), jnp.where(swap, d0, d1)], -2
+        ).reshape(d.shape)
+        i = jnp.stack(
+            [jnp.where(swap, i1, i0), jnp.where(swap, i0, i1)], -2
+        ).reshape(i.shape)
+        e = jnp.stack(
+            [jnp.where(swap, e1, e0), jnp.where(swap, e0, e1)], -2
+        ).reshape(e.shape)
+        s //= 2
+    d, i, e = d[..., : la + lb], i[..., : la + lb], e[..., : la + lb]
+    return (d, i, e) if carry_e else (d, i)
+
+
 def dedup_ids(
     dists: jnp.ndarray, ids: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

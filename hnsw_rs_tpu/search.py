@@ -33,7 +33,13 @@ import jax.numpy as jnp
 
 from .ops.distance import l2sq
 from .ops.quant import dequantize
-from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
+from .ops.topk import (
+    INF,
+    PAD_ID,
+    dedup_ids,
+    merge_sorted_dist_id,
+    sort_dist_id,
+)
 
 
 def _gather_vecs(codes: jnp.ndarray, scales: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
@@ -213,10 +219,13 @@ def _beam_loop(
         nd2 = jnp.where(new, nd2, INF)
         nids = jnp.where(new, nbrs, PAD_ID)
 
-        md2 = jnp.concatenate([beam_d2, nd2], axis=1)
-        mids = jnp.concatenate([beam_ids, nids], axis=1)
-        mexp = jnp.concatenate([beam_exp, jnp.logical_not(new)], axis=1)
-        md2, mids, mexp = sort_dist_id(md2, mids, mexp)
+        # sort the cap new candidates (narrow), then bitonic-MERGE into
+        # the already-sorted beam: log passes instead of the full
+        # (ef+cap)-wide sort's log² — the dominant per-iteration cost
+        nd2, nids, nexp = sort_dist_id(nd2, nids, jnp.logical_not(new))
+        md2, mids, mexp = merge_sorted_dist_id(
+            beam_d2, beam_ids, nd2, nids, beam_exp, nexp
+        )
         return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
 
     e = expand_e
@@ -265,10 +274,12 @@ def _beam_loop(
         # so the beam never holds one id twice
         nd2, nids = dedup_ids(nd2, nids)
 
-        md2 = jnp.concatenate([beam_d2, nd2], axis=1)
-        mids = jnp.concatenate([beam_ids, nids], axis=1)
-        mexp = jnp.concatenate([beam_exp, nids == PAD_ID], axis=1)
-        md2, mids, mexp = sort_dist_id(md2, mids, mexp)
+        # sort candidates, then bitonic-merge into the sorted beam (see
+        # body_1)
+        nd2, nids, nexp = sort_dist_id(nd2, nids, nids == PAD_ID)
+        md2, mids, mexp = merge_sorted_dist_id(
+            beam_d2, beam_ids, nd2, nids, beam_exp, nexp
+        )
         return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
 
     body = body_1 if e <= 1 else body_e
@@ -329,31 +340,38 @@ def search_layer(
 
 def pack_layer(
     adj: jnp.ndarray, codes: jnp.ndarray, scales: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Build the packed-neighbor serving layout for one layer.
+) -> jnp.ndarray:
+    """Build the packed-neighbor serving layout for one layer: ONE fused
+    u8 row per node holding its neighbors' codes, scales and ids.
 
-    XLA's row gather is row-RATE-bound (~10-40 ns/row regardless of row
-    width, measured in benchmarks/micro/bench_gather.py), so the beam
-    loop's per-expansion cost is dominated by ``cap`` narrow per-neighbor
-    code/scale gathers. Packing every node's neighbors' codes, scales and
-    ids into three wide rows turns ~3*cap gathers per expansion into 3 —
-    the wide rows are nearly free. Distances stay bit-identical: the same
-    u8 codes and f32 scales feed the same dequantize.
+    XLA's row gather is row-RATE-bound (dominated by per-row descriptor
+    issue, ~60-100 ns/row at serving batch sizes regardless of row width
+    up to ~2 KB — benchmarks/micro/bench_gather.py), so the beam loop's
+    per-expansion cost is ~(number of gathers) × B × t_row. Packing every
+    node's neighbors' codes, scales AND ids into a single byte row turns
+    ~3*cap gathers per expansion into ONE; the scale/id fields are
+    bitcast back out of the gathered bytes in-register. Distances stay
+    bit-identical: the same u8 codes and f32 scales feed the same
+    dequantize.
 
-    Returns (pk_codes u8[N, cap*d], pk_scales f32[N, cap, 2],
-    pk_ids int32[N, cap]). Memory: ~N*cap*(d+12) bytes — a serving-time
-    trade selected via :meth:`models.hnsw.HNSW.finalize`.
+    Row layout (width cap*(d+12) bytes): ``codes u8[cap*d] | scales
+    f32-bytes[cap*8] | ids i32-bytes[cap*4]`` — built with the inverse
+    bitcast, so decode round-trips exactly. A serving-time memory trade
+    selected via :meth:`models.hnsw.HNSW.finalize`.
     """
     n, cap = adj.shape
     d = codes.shape[1]
     safe = jnp.where(adj >= 0, adj, 0)
     pk_codes = codes[safe].reshape(n, cap * d)
-    pk_scales = scales[safe]  # [N, cap, 2]
-    return pk_codes, pk_scales, adj
+    sc_bytes = jax.lax.bitcast_convert_type(
+        scales[safe], jnp.uint8
+    ).reshape(n, cap * 8)
+    id_bytes = jax.lax.bitcast_convert_type(adj, jnp.uint8).reshape(n, cap * 4)
+    return jnp.concatenate([pk_codes, sc_bytes, id_bytes], axis=1)
 
 
 def search_layer_packed(
-    packed: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    packed: jnp.ndarray,
     q: jnp.ndarray,
     entry_d2: jnp.ndarray,
     entry_ids: jnp.ndarray,
@@ -363,17 +381,23 @@ def search_layer_packed(
     expand_e: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """:func:`search_layer` over the packed-neighbor layout — identical
-    semantics and distances (at ``expand_e=1``), ~cap× fewer gather rows
-    per expansion; ``expand_e>1`` amortizes per-iteration fixed costs
-    (see :func:`_beam_loop`)."""
-    pk_codes, pk_scales, pk_ids = packed
-    n, cap = pk_ids.shape
+    semantics and distances (at ``expand_e=1``), ONE gather row per
+    expansion instead of ~3*cap; ``expand_e>1`` pops E entries per
+    iteration (see :func:`_beam_loop`)."""
+    n, w = packed.shape
     d = q.shape[1]
+    cap = w // (d + 12)
 
     def fetch(cand_safe):
-        nbrs = pk_ids[cand_safe]  # [R, cap]
-        crow = pk_codes[cand_safe].reshape(-1, cap, d)
-        srow = pk_scales[cand_safe]  # [R, cap, 2]
+        row = packed[cand_safe]  # [R, cap*(d+12)] u8 — the ONLY gather
+        crow = row[:, : cap * d].reshape(-1, cap, d)
+        srow = jax.lax.bitcast_convert_type(
+            row[:, cap * d : cap * (d + 8)].reshape(-1, cap, 2, 4),
+            jnp.float32,
+        )  # [R, cap, 2]
+        nbrs = jax.lax.bitcast_convert_type(
+            row[:, cap * (d + 8) :].reshape(-1, cap, 4), jnp.int32
+        )  # [R, cap]
         return nbrs, dequantize(crow, srow)
 
     return _beam_loop(
@@ -423,7 +447,7 @@ def ann_search(
 
 def ann_search_packed(
     adjs_upper: tuple[jnp.ndarray, ...],
-    packed0: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    packed0: jnp.ndarray,
     codes: jnp.ndarray,
     scales: jnp.ndarray,
     q: jnp.ndarray,

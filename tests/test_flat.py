@@ -168,3 +168,25 @@ def test_flat_search_fused_rejects_fullvec():
     index.add(gen_rand_vecs(32, 8, seed=23))
     with pytest.raises(ValueError):
         index.search(gen_rand_vecs(2, 8, seed=24), 4, fused=True)
+
+
+def test_merge_sorted_equals_full_sort():
+    # bitonic merge of two sorted (d2, id) runs == full two-key sort
+    from hnsw_rs_tpu.ops.topk import merge_sorted_dist_id, sort_dist_id
+
+    rng = np.random.default_rng(44)
+    for la, lb in [(128, 32), (6, 10), (1, 1), (33, 31)]:
+        da, ia = sort_dist_id(
+            jnp.asarray(rng.choice(40, (3, la)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 99, (3, la)).astype(np.int32)),
+        )
+        db, ib = sort_dist_id(
+            jnp.asarray(rng.choice(40, (3, lb)).astype(np.float32)),
+            jnp.asarray(rng.integers(0, 99, (3, lb)).astype(np.int32)),
+        )
+        md, mi = merge_sorted_dist_id(da, ia, db, ib)
+        rd, ri = sort_dist_id(
+            jnp.concatenate([da, db], -1), jnp.concatenate([ia, ib], -1)
+        )
+        np.testing.assert_array_equal(np.asarray(mi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(md), np.asarray(rd))
