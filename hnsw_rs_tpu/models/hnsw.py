@@ -25,7 +25,12 @@ from ..errors import DimensionMismatch
 from ..graphs import LayeredGraph, degrees
 from ..ops.quant import dequantize, quantize
 from ..params import Params
-from ..search import ann_search, ann_search_packed, pack_layer
+from ..search import (
+    ann_search,
+    ann_search_packed,
+    ann_search_seeded,
+    pack_layer,
+)
 from ..store import PointStore
 from ..utils.progress import ProgressBar
 
@@ -53,6 +58,17 @@ def _ann_packed_jit(
 ):
     return ann_search_packed(
         adjs_upper, packed0, codes, scales, q, ep, ef, k, max_iters, expand_e
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "k", "max_iters", "expand_e")
+)
+def _ann_seeded_jit(
+    packed0, pivot_ids, pivot_vecs, q, ef, k, max_iters, expand_e=1
+):
+    return ann_search_seeded(
+        packed0, pivot_ids, pivot_vecs, q, ef, k, max_iters, expand_e
     )
 
 
@@ -92,6 +108,9 @@ class HNSW:
         self._packed0 = None
         self._packed_n = -1
         self.serve_expand = 1
+        # pivot-seeded serving (finalize(pivots=...)): MXU matmul against
+        # the upper-layer skeleton replaces greedy descent at query time
+        self._pivots = None
         # pending incremental inserts, batched into waves (amortizes the
         # one-wave-per-insert_vec dispatch, ~214 ms/call on the dev
         # tunnel); flushed on any read or at pending_flush_size
@@ -297,11 +316,17 @@ class HNSW:
         q = dequantize(qc, qs)
         ep = jnp.asarray(self.params.ep, jnp.int32)
         if self._packed0 is not None and self._packed_n == len(self):
-            d, i = _ann_packed_jit(
-                tuple(self.graph.adjs[1:]), self._packed0,
-                self.points.codes, self.points.scales, q, ep,
-                ef, n, max_iters, self.serve_expand,
-            )
+            if self._pivots is not None:
+                d, i = _ann_seeded_jit(
+                    self._packed0, self._pivots[0], self._pivots[1],
+                    q, ef, n, max_iters, self.serve_expand,
+                )
+            else:
+                d, i = _ann_packed_jit(
+                    tuple(self.graph.adjs[1:]), self._packed0,
+                    self.points.codes, self.points.scales, q, ep,
+                    ef, n, max_iters, self.serve_expand,
+                )
         else:
             table = self._serving_table()
             d, i = _ann_jit(
@@ -310,17 +335,25 @@ class HNSW:
             )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
-    def finalize(self, expand: int = 1) -> "HNSW":
+    def finalize(self, expand: int = 1, pivots: int = 0) -> "HNSW":
         """Build the packed-neighbor serving layout for layer 0.
 
         Trades ~``cap*(dim+12)`` bytes per point of extra HBM for a
-        ~cap× reduction in gather rows per beam expansion — the difference
-        between row-rate-bound and bandwidth-bound serving (XLA gathers
-        are row-rate-bound; benchmarks/micro/bench_gather.py). Identical
-        query results at ``expand=1``; ``expand`` E>1 pops E beam entries
-        per lockstep iteration (recall per ef same or better, ~E× fewer
-        iterations — see ``search._beam_loop``). Re-run after inserts (a
-        stale pack is detected and bypassed, never served). Returns self."""
+        ~3·cap× reduction in gather rows per beam expansion — the
+        difference between row-rate-bound and bandwidth-bound serving
+        (XLA gathers are row-rate-bound; benchmarks/micro/bench_gather.py).
+        Identical query results at ``expand=1``; ``expand`` E>1 pops E
+        beam entries per lockstep iteration (see ``search._beam_loop``).
+
+        ``pivots`` > 0 additionally enables pivot-SEEDED serving
+        (``search.ann_search_seeded``): the highest-level ~``pivots``
+        nodes' vectors are cached dense, each query batch takes one MXU
+        matmul against them, and the top-ef seed the layer-0 beam —
+        replacing the serial upper-layer descent. Recall per ef is
+        typically equal or better at materially fewer beam iterations.
+
+        Re-run after inserts (a stale pack is detected and bypassed,
+        never served). Returns self."""
         self.flush()
         if len(self.graph) > 0:
             self._packed0 = pack_layer(
@@ -328,6 +361,25 @@ class HNSW:
             )
             self._packed_n = len(self)
         self.serve_expand = int(expand)
+        if pivots > 0 and len(self) > 0:
+            levels = np.asarray(self.points.levels[: len(self)])
+            # smallest level whose member count fits the budget; then an
+            # even deterministic subsample if even level 1 is too big
+            ids = None
+            for lv in range(int(levels.max()), 0, -1):
+                cand = np.flatnonzero(levels >= lv)
+                if cand.size >= min(pivots, len(self)) or lv == 1:
+                    ids = cand
+                    break
+            if ids is None or ids.size == 0:  # single-layer graph
+                ids = np.arange(len(self))
+            if ids.size > pivots:
+                ids = ids[:: -(-ids.size // pivots)][:pivots]
+            ids = jnp.asarray(ids.astype(np.int32))
+            vecs = dequantize(self.points.codes[ids], self.points.scales[ids])
+            self._pivots = (ids, vecs)
+        elif pivots == 0:
+            self._pivots = None
         return self
 
     def _serving_table(self) -> "jnp.ndarray":

@@ -406,6 +406,47 @@ def search_layer_packed(
     )
 
 
+def ann_search_seeded(
+    packed0: jnp.ndarray,
+    pivot_ids: jnp.ndarray,
+    pivot_vecs: jnp.ndarray,
+    q: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pivot-seeded serving: ONE MXU matmul against a few thousand pivot
+    points (the upper-layer skeleton) replaces the serial greedy descent,
+    and its top-ef seeds the layer-0 beam directly.
+
+    TPU-first rationale: the hierarchy's upper layers are a pointer-chase
+    (tens of sequential gather rounds, each paying the row-issue floor);
+    an all-pivots distance matrix is one dense [B, P] matmul the MXU eats
+    for free, and starting the beam with ef GOOD candidates instead of
+    one skips the coarse navigation phase entirely. Same layer-0 beam
+    semantics afterwards (``search_layer_packed``); the reference's
+    hierarchy role (``template.rs:306-335``, layers > 0) is what this
+    replaces at serving time. Seed selection uses ``lax.top_k`` (position
+    tie-break) — entry choice is heuristic, results still come from the
+    exact (d2, id)-ordered beam.
+    """
+    d2p = (
+        jnp.sum(q * q, 1, keepdims=True)
+        - 2.0 * jnp.dot(q, pivot_vecs.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(pivot_vecs * pivot_vecs, 1)[None, :]
+    )
+    s = min(ef, pivot_ids.shape[0])
+    nv, pos = jax.lax.top_k(-d2p, s)
+    e_ids = pivot_ids[pos]  # [B, s]
+    e_d2 = jnp.maximum(-nv, 0.0)
+    beam_d2, beam_ids = search_layer_packed(
+        packed0, q, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+    )
+    return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
+
+
 def seed_entry(
     codes: jnp.ndarray, scales: jnp.ndarray, q: jnp.ndarray, ep: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -213,3 +213,29 @@ def test_expand_e_recall_not_worse():
     for row in np.asarray(i4):
         real = row[row != np.iinfo(np.int32).max]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_pivot_seeded_serving_recall():
+    # pivot-seeded serving (finalize(pivots=...)) reaches at least the
+    # default path's recall at equal ef, and its ids are real neighbors
+    import numpy as np
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.utils import brute_force_nns, gen_rand_vecs
+
+    vecs = gen_rand_vecs(1500, 24, seed=51)
+    q = gen_rand_vecs(48, 24, seed=52)
+    index = HNSW(12, dim=24)
+    index.insert_bulk(vecs)
+    truth = brute_force_nns(q, index.points.codes, index.points.scales, 10)
+    index.finalize()
+    _, i0 = index.ann_batch(q, 10, 48)
+    index.finalize(pivots=256)
+    assert index._pivots is not None
+    _, i1 = index.ann_batch(q, 10, 48)
+    r0 = np.mean([len(set(a) & set(t)) / 10 for a, t in zip(i0, truth)])
+    r1 = np.mean([len(set(a) & set(t)) / 10 for a, t in zip(i1, truth)])
+    assert r1 >= r0 - 0.02, (r0, r1)
+    assert r1 > 0.9
+    # finalize() without pivots turns the seeded path back off
+    index.finalize()
+    assert index._pivots is None
