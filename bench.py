@@ -43,7 +43,7 @@ def main() -> None:
 
     from hnsw_rs_tpu import HNSW
     from hnsw_rs_tpu.models.flat import _flat_search_tiled
-    from hnsw_rs_tpu.models.hnsw import _ann_jit, _ann_packed_jit
+    from hnsw_rs_tpu.models.hnsw import _ann_seeded_jit
     from hnsw_rs_tpu.ops.distance import point_normsq
     from hnsw_rs_tpu.ops.quant import dequantize, quantize
     from hnsw_rs_tpu.utils.datasets import synthetic_clustered
@@ -51,11 +51,14 @@ def main() -> None:
     N = int(os.environ.get("HNSW_BENCH_N", "1000000"))
     if os.environ.get("HNSW_BENCH_QUICK"):
         N = 100_000
-    D, K, M, EF_CONS, NQ = 96, 10, 16, 96, 1024
+    # M=24/efc=128: the measured QPS-at-recall>=0.99 sweet spot at 1M
+    # (benchmarks/SERVING_1M.json; a denser graph reaches the recall
+    # gate in ~24 beam iterations from pivot seeds vs ~280 at M=16)
+    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 8192
     cache = os.path.join(ROOT, ".bench_cache")
     tag = f"n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
-    gt_path = os.path.join(cache, f"gt_{tag}.npz")
+    gt_path = os.path.join(cache, f"gt_n{N}_d{D}.npz")  # graph-independent
     meta_path = os.path.join(cache, f"meta_{tag}.json")
     os.makedirs(cache, exist_ok=True)
 
@@ -86,13 +89,13 @@ def main() -> None:
         meta["build_s"] = build_s
         meta["build_s_cold"] = first_s
 
-    # single-core CPU baselines (measured on a 100k slice; the full-N
-    # sequential build would take ~10 min of bench budget). Rates fall
-    # slowly with N, so a 100k-slice rate FLATTERS the baseline — fine.
+    # single-core CPU baseline (measured on a 50k slice; the full-N
+    # sequential build would take hours of bench budget). Rates fall
+    # slowly with N, so a 50k-slice rate FLATTERS the baseline — fine.
     if "cpu_build_vps" not in meta:
         from hnsw_rs_tpu.native import baseline_build_rate
 
-        nb = min(N, 100_000)
+        nb = min(N, 50_000)
         r = baseline_build_rate(ds.train[:nb], m=M, ef_cons=EF_CONS)
         meta["cpu_build_vps"] = round(r[1], 1) if r else None
         meta["cpu_build_n"] = nb
@@ -111,62 +114,51 @@ def main() -> None:
         truth = np.asarray(ti)[:, :K]
         np.savez_compressed(gt_path, ids=truth)
 
-    index.finalize()  # packed-neighbor serving layout
-    codes, scales = index.points.codes, index.points.scales
+    index.finalize(pivots=PIVOTS)  # packed rows + pivot-seeded serving
     packed0 = index._packed0
-    adjs_upper = tuple(index.graph.adjs[1:])
-    ep = jnp.asarray(index.params.ep, jnp.int32)
+    pivot_ids, pivot_vecs = index._pivots
     truth_sets = [set(t) for t in truth]
+    q1k = dequantize(*quantize(jnp.asarray(ds.test)))
 
-    # cheapest (ef, expand_e) clearing the 0.99 recall gate. expand_e
-    # pops E beam entries per lockstep iteration (~E× fewer iterations,
-    # superset discovery so recall per ef is same or better — see
-    # search._beam_loop); candidates are ordered by estimated cost
-    # iterations × merge-width and the first passing one wins.
-    def est_cost(ef, e):
-        mi = -(-(2 * ef + 16) // e) + 8
-        return mi * (ef + e * index.params.mmax0)
-
-    cands = sorted(
-        ((ef, e) for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256)
-         for e in (4, 1)),
-        key=lambda c: est_cost(*c),
-    )
+    # cheapest (ef, max_iters) clearing the 0.99 recall gate, in
+    # ascending cost order (cost ~ max_iters; see DEVNOTES gather floor)
+    cands = [
+        (40, 24), (48, 24), (48, 28), (48, 32), (64, 40), (64, 56),
+        (96, 80), (128, 112), (192, 200), (256, 280),
+    ]
     chosen = None
-    for ef, e in cands:
-        index.serve_expand = e
-        _, ann = index.ann_batch(ds.test, K, ef)
+    for ef, mi in cands:
+        _, ann = _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q1k,
+                                 ef, K, mi, 1)
         recall = float(
-            np.mean([len(set(a) & t) / K for a, t in zip(ann, truth_sets)])
+            np.mean([len(set(a) & t) / K for a, t in zip(np.asarray(ann),
+                                                         truth_sets)])
         )
         if recall >= 0.99:
-            chosen = (ef, e, recall)
+            chosen = (ef, mi, recall)
             break
     if chosen is None:
-        chosen = (ef, e, recall)
-    ef, expand, recall = chosen
-    max_iters = -(-(2 * ef + 16) // expand) + 8
+        chosen = (ef, mi, recall)
+    ef, max_iters, recall = chosen
 
     # NB: big arrays must be jit ARGUMENTS — closure capture bakes them
     # into the HLO as constants and the dev tunnel's remote compiler
     # rejects the multi-GB request body (HTTP 413)
-    @functools.partial(jax.jit, static_argnames=("ef", "k", "mi", "e"))
-    def search_sum(adjs_upper, packed0, codes, scales, q, ep, ef, k, mi, e):
-        d, i = _ann_packed_jit(
-            adjs_upper, packed0, codes, scales, q, ep, ef, k, mi, e
-        )
+    @functools.partial(jax.jit, static_argnames=("ef", "k", "mi"))
+    def search_sum(packed0, pivot_ids, pivot_vecs, q, ef, k, mi):
+        d, i = _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q, ef, k, mi)
         return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
-    batch = 16384
+    batch = 32768
     big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
     q = dequantize(*quantize(jnp.asarray(big)))
 
-    args = (adjs_upper, packed0, codes, scales, q, ep)
-    int(search_sum(*args, ef, K, max_iters, expand))  # compile + warm
+    args = (packed0, pivot_ids, pivot_vecs, q)
+    int(search_sum(*args, ef, K, max_iters))  # compile + warm
     t0 = time.time()
     iters = 0
     while time.time() - t0 < 5.0 or iters < 3:
-        int(search_sum(*args, ef, K, max_iters, expand))
+        int(search_sum(*args, ef, K, max_iters))
         iters += 1
     qps = batch * iters / (time.time() - t0)
 
@@ -177,9 +169,9 @@ def main() -> None:
             {
                 "metric": (
                     f"QPS/chip at recall@10>=0.99, N={N} d={D} synthetic-"
-                    f"clustered (ef={ef}, expand={expand}, "
-                    f"recall={recall:.3f}; build {build_rate:.0f} "
-                    f"vec/s{bx} vec/s)"
+                    f"clustered (M={M}, pivot-seeded ef={ef} "
+                    f"mi={max_iters}, recall={recall:.3f}; build "
+                    f"{build_rate:.0f} vec/s{bx} vec/s)"
                 ),
                 "value": round(qps, 1),
                 "unit": "qps",
