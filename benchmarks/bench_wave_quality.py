@@ -44,7 +44,7 @@ D, K, NQ, M, EF_CONS = 96, 10, 1024, 16, 96
 # (wave_cap, build_expand): caps axis = wave-blindness bound;
 # expand axis = throughput knob
 CONFIGS = [(1024, 1), (4096, 1), (4096, 4)] if QUICK else [
-    (512, 1), (2048, 1), (4096, 1), (8192, 1), (4096, 2), (4096, 4), (8192, 4),
+    (512, 1), (2048, 1), (4096, 1), (8192, 1), (4096, 2),
 ]
 
 ds = synthetic_clustered(N, D, n_queries=NQ, seed=42)
