@@ -142,11 +142,12 @@ class FlatIndex:
         ``hnsw/src/template.rs:313``) so distances live in the same
         quantized space as the HNSW path. ``exact=True`` uses the direct
         (cancellation-free) distance form for oracle use; the default MXU
-        form is the fast path. ``fused`` selects the Pallas fused
+        form is the fast path. ``fused=True`` selects the Pallas fused
         distance+group-min kernel (the [B, N] matrix never hits HBM —
-        ``ops/pallas/l2_groupmin.py``); by default it is used on TPU for
-        quantized collections above the sort-path cutoff, where it is the
-        fastest exact path. On CPU it runs in interpret mode (tests only).
+        ``ops/pallas/l2_groupmin.py``). OPT-IN for now: the kernel is
+        exactness-tested in interpret mode, but its Mosaic compile hangs
+        through this environment's remote-TPU tunnel (DEVNOTES), so the
+        default stays on the tiled XLA path everywhere.
         """
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         if self.metric == "cosine":
@@ -157,12 +158,7 @@ class FlatIndex:
         else:
             q = queries
         if fused is None:
-            fused = (
-                not exact
-                and self.quantized
-                and len(self) > _SORT_PATH_MAX
-                and _on_tpu()
-            )
+            fused = False
         if fused:
             if not self.quantized:
                 raise ValueError("fused path requires a quantized collection")
