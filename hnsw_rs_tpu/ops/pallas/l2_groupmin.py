@@ -43,30 +43,36 @@ _MARGIN = 8  # extra groups rescored in pass 2 (ULP safety at the boundary)
 
 
 def _kernel(q_ref, codes_ref, scales_ref, normsq_ref, outd_ref, outi_ref):
+    """Distances computed TRANSPOSED ([TN, TQ]) so the per-128-group
+    reduce runs over the SUBLANE-grouped axis of a [g, GROUP, TQ] view
+    and the [g, TQ] result stores as one full block. (Per-row 1-D
+    stores hung the Mosaic compile on real hardware; a [TQ, g] output
+    violates the minor-dim-divisible-by-128 block constraint.)"""
     q = q_ref[...]  # [TQ, d] f32
     # Mosaic has no direct u8->f32 cast; hop through int32
     c = codes_ref[...].astype(jnp.int32).astype(jnp.float32)  # [TN, d]
-    qdotc = jax.lax.dot_general(
-        q, c, (((1,), (1,)), ((), ())),
+    cdotq = jax.lax.dot_general(
+        c, q, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TQ, TN]
-    mn = scales_ref[:, 0][None, :]
-    delta = scales_ref[:, 1][None, :]
-    qsum = jnp.sum(q, axis=1, keepdims=True)
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)
-    d2 = qsq + normsq_ref[:, 0][None, :] - 2.0 * (delta * qdotc + mn * qsum)
-    d2 = jnp.maximum(d2, 0.0)
-    tq = d2.shape[0]
+    )  # [TN, TQ]
+    mn = scales_ref[:, 0][:, None]
+    delta = scales_ref[:, 1][:, None]
+    qsum = jnp.sum(q, axis=1)[None, :]  # [1, TQ]
+    qsq = jnp.sum(q * q, axis=1)[None, :]
+    d2 = qsq + normsq_ref[:, 0][:, None] - 2.0 * (delta * cdotq + mn * qsum)
+    d2 = jnp.maximum(d2, 0.0)  # [TN, TQ]
+    tq = d2.shape[1]
     base = pl.program_id(1) * _TN
-    col = jax.lax.broadcasted_iota(jnp.int32, (tq, GROUP), 1)
-    for g in range(_TN // GROUP):  # static unroll: 2D ops only
-        blk = d2[:, g * GROUP : (g + 1) * GROUP]  # [TQ, 128]
-        gmin = jnp.min(blk, axis=1)  # [TQ]
-        amin = jnp.min(
-            jnp.where(blk == gmin[:, None], col, GROUP), axis=1
-        )  # id tie-break: smallest row index among equal minima
-        outd_ref[g, :] = gmin
-        outi_ref[g, :] = base + g * GROUP + amin
+    g = _TN // GROUP
+    d3 = d2.reshape(g, GROUP, tq)
+    gmin3 = jnp.min(d3, axis=1)  # [g, TQ]
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (g, GROUP, tq), 1)
+    amin3 = jnp.min(
+        jnp.where(d3 == gmin3[:, None, :], row3, GROUP), axis=1
+    )  # id tie-break: smallest row index among equal minima
+    off = jax.lax.broadcasted_iota(jnp.int32, (g, tq), 0) * GROUP
+    outd_ref[...] = gmin3
+    outi_ref[...] = base + off + amin3
 
 
 def group_min_d2(
@@ -103,11 +109,6 @@ def group_min_d2(
             jax.ShapeDtypeStruct((n // GROUP, b), jnp.float32),
             jax.ShapeDtypeStruct((n // GROUP, b), jnp.int32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=b * d * 4 + n * d + n * 12 + 2 * b * (n // GROUP) * 4,
-            transcendentals=0,
-        ),
         interpret=interpret,
     )(q, codes, scales, normsq.reshape(n, 1))
 
