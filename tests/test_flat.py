@@ -190,3 +190,10 @@ def test_merge_sorted_equals_full_sort():
         )
         np.testing.assert_array_equal(np.asarray(mi), np.asarray(ri))
         np.testing.assert_array_equal(np.asarray(md), np.asarray(rd))
+        # bool payload rides along exactly (keys here are unique pairs)
+        ea = jnp.asarray((np.asarray(ia) % 2).astype(bool))
+        eb = jnp.asarray((np.asarray(ib) % 2).astype(bool))
+        _, mi2, me = merge_sorted_dist_id(da, ia, db, ib, ea, eb)
+        np.testing.assert_array_equal(
+            np.asarray(me), (np.asarray(mi2) % 2).astype(bool)
+        )
