@@ -1,4 +1,9 @@
-"""Fused Pallas distance+group-min flat search vs XLA alternatives."""
+"""Fused Pallas distance+group-min flat search vs XLA alternatives.
+
+WARNING: on the axon dev tunnel the fused kernel's REAL-TPU Mosaic
+compile hangs (DEVNOTES "Pallas groupmin kernel status") — this script
+is the repro. Interpret-mode correctness is covered by tests.
+"""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax, jax.numpy as jnp, numpy as np

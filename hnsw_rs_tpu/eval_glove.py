@@ -76,8 +76,8 @@ def main(argv=None) -> int:
     truth = brute_force_nns(
         queries, index.points.codes, index.points.scales, args.k
     )
-    if args.expand > 1:  # packed serving layout with E-way beam pops
-        index.finalize(expand=args.expand)
+    if args.expand > 1 or args.pivots > 0:  # packed/seeded serving
+        index.finalize(expand=args.expand, pivots=args.pivots)
     print(f"\n ef    recall@{args.k}   QPS")
     batch = args.batch or len(queries)
     reps = max(1, -(-batch // len(queries)))

@@ -37,6 +37,10 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--expand", type=int, default=1,
                    help="beam pops per serving-search iteration (packed "
                    "layout; E>1 amortizes per-iteration fixed costs)")
+    p.add_argument("--pivots", type=int, default=0,
+                   help="enable pivot-seeded serving with this many "
+                   "upper-layer pivots (one MXU matmul replaces the "
+                   "greedy descent; the million-scale headline path)")
     p.add_argument("--k", type=int, default=10, help="neighbors per query")
     p.add_argument("--batch", type=int, default=0,
                    help="query batch size for the QPS measurement "
