@@ -137,7 +137,12 @@ def main() -> None:
         if recall >= 0.99:
             chosen = (ef, mi, recall)
             break
-    if chosen is None:
+    gate_met = chosen is not None
+    if not gate_met:
+        # never report a sub-gate recall under a ">=0.99" label: the
+        # metric string below switches to BELOW-GATE and vs_baseline is
+        # zeroed so a silent quality regression cannot masquerade as a
+        # healthy headline
         chosen = (ef, mi, recall)
     ef, max_iters, recall = chosen
 
@@ -164,18 +169,27 @@ def main() -> None:
 
     cpu_bv = meta.get("cpu_build_vps")
     bx = f", {build_rate / cpu_bv:.1f}x 1-core C++ {cpu_bv:.0f}" if cpu_bv else ""
+    # serving-memory honesty: device bytes per point actually held by this
+    # serving mode (packed rows + pivot table + codes/scales/adjacency)
+    serve_bytes = int(packed0.size + pivot_vecs.size * 4 + pivot_ids.size * 4
+                      + N * D + N * 8)
+    for a in index.graph.adjs:
+        serve_bytes += N * a.shape[1] * 4
+    bpp = serve_bytes / N
+    gate_label = "recall@10>=0.99" if gate_met else "recall@10 BELOW GATE 0.99"
     print(
         json.dumps(
             {
                 "metric": (
-                    f"QPS/chip at recall@10>=0.99, N={N} d={D} synthetic-"
+                    f"QPS/chip at {gate_label}, N={N} d={D} synthetic-"
                     f"clustered (M={M}, pivot-seeded ef={ef} "
-                    f"mi={max_iters}, recall={recall:.3f}; build "
+                    f"mi={max_iters}, recall={recall:.3f}, "
+                    f"{bpp:.0f} B/point serving memory; build "
                     f"{build_rate:.0f} vec/s{bx} vec/s)"
                 ),
                 "value": round(qps, 1),
                 "unit": "qps",
-                "vs_baseline": round(qps / 300.0, 2),
+                "vs_baseline": 0.0 if not gate_met else round(qps / 300.0, 2),
             }
         )
     )

@@ -106,10 +106,23 @@ class ANNBenchmarksHNSW(_Base):
     def get_memory_usage(self) -> int | None:
         if self._index is None:
             return None
-        pts = self._index.points
-        total = pts.codes.size + pts.scales.size * 4
-        for adj in self._index.graph.adjs:
-            total += adj.size * 4
+        idx = self._index
+        n = len(idx)
+        pts = idx.points
+        d = max(idx.params.dim, 1)
+        # live rows only (the store capacity-pads), plus every serving
+        # layout fit() built: the packed layer-0 rows DOMINATE (~cap*(d+12)
+        # bytes/point, ~13x the raw codes) and must be reported, or the
+        # harness's memory column understates by an order of magnitude
+        total = n * d + n * 8  # codes u8 + scales 2xf32
+        for adj in idx.graph.adjs:
+            total += n * adj.shape[1] * 4
+        if idx._packed0 is not None:
+            total += idx._packed0.size
+        if idx._pivots is not None:
+            total += idx._pivots[1].size * 4 + idx._pivots[0].size * 4
+        if idx._f32_table is not None:
+            total += n * d * 4
         return total // 1024  # harness expects kB
 
 

@@ -171,3 +171,48 @@ class FlatIndex:
             return np.asarray(jnp.sqrt(d2)), np.asarray(i)
         d, i = _flat_search(q, self.codes, self.scales, self._normsq, k, exact)
         return np.asarray(d), np.asarray(i)
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint to a directory (``params.json`` + ``arrays.npz``) —
+        persistence as a first-class index capability for every family,
+        matching the reference's persisted HNSW
+        (``hnsw/src/template.rs:43-73``)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(
+                {
+                    "format": "hnsw_rs_tpu.flat.v1",
+                    "dim": self.dim,
+                    "quantized": self.quantized,
+                    "metric": self.metric,
+                },
+                f,
+                indent=2,
+            )
+        np.savez_compressed(
+            os.path.join(path, "arrays.npz"),
+            codes=np.asarray(self.codes),
+            scales=np.asarray(self.scales),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FlatIndex":
+        """Restore from :meth:`save`."""
+        import json
+        import os
+
+        with open(os.path.join(path, "params.json")) as f:
+            meta = json.load(f)
+        if meta.get("format") != "hnsw_rs_tpu.flat.v1":
+            raise ValueError(f"unknown index format in {path}")
+        index = cls(meta["dim"], quantized=meta["quantized"], metric=meta["metric"])
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            index.codes = jnp.asarray(z["codes"])
+            index.scales = jnp.asarray(z["scales"])
+        index._normsq = point_normsq(index.codes, index.scales)
+        return index

@@ -345,6 +345,12 @@ class HNSW:
         Identical query results at ``expand=1``; ``expand`` E>1 pops E
         beam entries per lockstep iteration (see ``search._beam_loop``).
 
+        NOTE: ``pivots`` is absolute state, not a delta — every call sets
+        the serving mode from its arguments alone, so ``finalize(expand=E)``
+        with the default ``pivots=0`` DISABLES a previously enabled
+        pivot-seeded mode (tests/test_search.py codifies this). Pass the
+        current pivot count again when adjusting only ``expand``.
+
         ``pivots`` > 0 additionally enables pivot-SEEDED serving
         (``search.ann_search_seeded``): the highest-level ~``pivots``
         nodes' vectors are cached dense, each query batch takes one MXU
@@ -374,7 +380,15 @@ class HNSW:
             if ids is None or ids.size == 0:  # single-layer graph
                 ids = np.arange(len(self))
             if ids.size > pivots:
-                ids = ids[:: -(-ids.size // pivots)][:pivots]
+                # exactly `pivots` evenly-spaced picks (dedup-safe: size >
+                # pivots makes the rounded linspace strictly increasing
+                # often enough; duplicates are removed and the budget is
+                # still met within a couple of ids) — a ceil-stride slice
+                # can undershoot the configured budget by ~2x
+                pick = np.unique(
+                    np.linspace(0, ids.size - 1, pivots).round().astype(np.int64)
+                )
+                ids = ids[pick]
             ids = jnp.asarray(ids.astype(np.int32))
             vecs = dequantize(self.points.codes[ids], self.points.scales[ids])
             self._pivots = (ids, vecs)

@@ -17,9 +17,14 @@ every FLOP is a batched matmul on the MXU:
 3. search: centroid distances [B, C] on the MXU -> top-``n_probe`` lists
    -> gather those blocks -> fused distances -> top-k (dist, id) sort.
 
-Supports incremental :meth:`add` after training (assign to the nearest
-centroid + vectorized repack) and :meth:`retrain` (re-run k-means over
-everything stored when the distribution has drifted).
+Supports incremental :meth:`add` after training — amortized O(1) per
+vector: new rows are scattered into per-list TAIL slots of
+capacity-grown block buffers (growth is geometric, a full repack happens
+only when some list outgrows the shared block width) — plus
+:meth:`retrain` (re-run k-means over everything stored when the
+distribution has drifted) and :meth:`save`/:meth:`load` (persistence is
+a first-class index capability, as in the reference's one family,
+``hnsw/src/template.rs:43-131``).
 
 No reference analogue (the reference has only HNSW + a scalar brute-force
 helper); quantization/distance semantics are shared with the rest of the
@@ -127,10 +132,11 @@ class IVFFlatIndex:
         self.blocks = None  # u8 (or f32) [C, Lmax, d]
         self.bscales = None  # f32[C, Lmax, 2] when quantized_blocks
         self.block_ids = None  # i32[C, Lmax]
-        self.codes = None  # u8[N, d] (source of truth for repack/persist)
-        self.scales = None  # f32[N, 2]
+        self.codes = None  # u8[cap, d] (source of truth for repack/persist)
+        self.scales = None  # f32[cap, 2]
         self._assign = None  # i32[N] host-side list assignment
-        self._n = 0
+        self._counts = None  # i64[C] live entries per list
+        self._n = 0  # live rows in codes/scales (capacity-padded buffers)
 
     def __len__(self) -> int:
         return self._n
@@ -157,8 +163,13 @@ class IVFFlatIndex:
         return np.arange(n, dtype=np.int32)
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
-        """Incremental add after training: assign each new vector to its
-        nearest centroid and repack the list blocks. Ids are stable row
+        """Incremental add after training — amortized O(1) per vector.
+
+        Each new vector is assigned to its nearest centroid and SCATTERED
+        into its list's tail slot on device; the world is never repacked.
+        The row buffer grows geometrically (doubling), and the shared
+        per-list block width grows geometrically when some list fills, so
+        the occasional O(N) growth amortizes away. Ids are stable row
         positions. On an untrained index this is :meth:`train_add`."""
         if self.centroids is None:
             return self.train_add(vectors)
@@ -167,19 +178,73 @@ class IVFFlatIndex:
         codes, scales = quantize(jnp.asarray(vectors))
         assign = np.asarray(_assign_jit(dequantize(codes, scales), self.centroids))
         start = self._n
-        self.codes = jnp.concatenate([self.codes, codes], axis=0)
-        self.scales = jnp.concatenate([self.scales, scales], axis=0)
+
+        # grow the row buffers (doubling) and append
+        cap = int(self.codes.shape[0])
+        if start + n_new > cap:
+            new_cap = max(start + n_new, 2 * cap)
+            self.codes = jnp.concatenate(
+                [self.codes,
+                 jnp.zeros((new_cap - cap, self.dim), self.codes.dtype)]
+            )
+            pad_sc = jnp.tile(jnp.asarray([[0.0, 1.0]], jnp.float32),
+                              (new_cap - cap, 1))
+            self.scales = jnp.concatenate([self.scales, pad_sc])
+        self.codes = jax.lax.dynamic_update_slice_in_dim(
+            self.codes, codes, start, 0
+        )
+        self.scales = jax.lax.dynamic_update_slice_in_dim(
+            self.scales, scales, start, 0
+        )
         self._assign = np.concatenate([self._assign, assign])
         self._n += n_new
-        self._pack()
+
+        # per-list tail positions for the batch: counts[l] + rank of this
+        # row among same-list rows within the batch
+        order = np.argsort(assign, kind="stable")
+        srt = assign[order]
+        idx = np.arange(n_new, dtype=np.int64)
+        first = np.r_[True, srt[1:] != srt[:-1]] if n_new else np.zeros(0, bool)
+        grp_start = np.maximum.accumulate(np.where(first, idx, 0))
+        within = self._counts[srt] + (idx - grp_start)
+
+        lmax_cap = int(self.blocks.shape[1])
+        if within.size and int(within.max()) >= lmax_cap:
+            self._grow_blocks(int(within.max()) + 1)
+        rows = jnp.asarray(srt.astype(np.int32))
+        slots = jnp.asarray(within.astype(np.int32))
+        new_ids = jnp.asarray((start + order).astype(np.int32))
+        if self.quantized_blocks:
+            self.blocks = self.blocks.at[rows, slots].set(codes[order])
+            self.bscales = self.bscales.at[rows, slots].set(scales[order])
+        else:
+            self.blocks = self.blocks.at[rows, slots].set(
+                dequantize(codes, scales)[order]
+            )
+        self.block_ids = self.block_ids.at[rows, slots].set(new_ids)
+        np.add.at(self._counts, assign, 1)
         return np.arange(start, start + n_new, dtype=np.int32)
+
+    def _grow_blocks(self, need: int) -> None:
+        """Widen the shared per-list block width geometrically (pad rows
+        keep id -1 / identity scale, so search masking is unchanged)."""
+        old = int(self.blocks.shape[1])
+        new = max(need, 2 * old, 8)
+        pad = new - old
+        self.blocks = jnp.pad(self.blocks, ((0, 0), (0, pad), (0, 0)))
+        if self.bscales is not None:
+            padded = jnp.pad(self.bscales, ((0, 0), (0, pad), (0, 0)))
+            self.bscales = padded.at[:, old:, 1].set(1.0)
+        self.block_ids = jnp.pad(
+            self.block_ids, ((0, 0), (0, pad)), constant_values=-1
+        )
 
     def retrain(self, kmeans_iters: int | None = None) -> "IVFFlatIndex":
         """Re-run k-means over everything stored (distribution drift after
         many :meth:`add` calls) and repack. Ids are unchanged."""
         if self._n == 0:
             raise ValueError("nothing stored to retrain on")
-        x = dequantize(self.codes, self.scales)
+        x = dequantize(self.codes[: self._n], self.scales[: self._n])
         rng = np.random.default_rng(self.seed + 1)
         c = min(self.n_lists, self._n)
         self.n_lists = c
@@ -206,7 +271,9 @@ class IVFFlatIndex:
 
     def _pack(self) -> None:
         """Vectorized repack of codes/scales into padded per-list blocks
-        (sorted-by-list, position = (list, within-list rank))."""
+        (sorted-by-list, position = (list, within-list rank)), with ~25%
+        width headroom so subsequent :meth:`add` calls scatter into tail
+        slots instead of repacking."""
         c, n, d = self.n_lists, self._n, self.dim
         order = np.argsort(self._assign, kind="stable")
         srt = self._assign[order]
@@ -215,24 +282,95 @@ class IVFFlatIndex:
         np.cumsum(counts, out=starts[1:])
         within = np.arange(n, dtype=np.int64) - starts[srt]
         lmax = max(1, int(counts.max()))
+        lmax += min(max(lmax // 4, 8), 1024)  # add headroom
         bids = np.full((c, lmax), -1, np.int32)
         bids[srt, within] = order.astype(np.int32)
         if self.quantized_blocks:
             blocks = np.zeros((c, lmax, d), np.uint8)
             bsc = np.zeros((c, lmax, 2), np.float32)
             bsc[..., 1] = 1.0  # identity scale on pad rows
-            blocks[srt, within] = np.asarray(self.codes)[order]
-            bsc[srt, within] = np.asarray(self.scales)[order]
+            blocks[srt, within] = np.asarray(self.codes[:n])[order]
+            bsc[srt, within] = np.asarray(self.scales[:n])[order]
             self.blocks = jnp.asarray(blocks)
             self.bscales = jnp.asarray(bsc)
         else:
             blocks = np.zeros((c, lmax, d), np.float32)
             blocks[srt, within] = np.asarray(
-                dequantize(self.codes, self.scales)
+                dequantize(self.codes[:n], self.scales[:n])
             )[order]
             self.blocks = jnp.asarray(blocks)
             self.bscales = None
         self.block_ids = jnp.asarray(bids)
+        self._counts = counts.astype(np.int64)
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint to a directory (``params.json`` + ``arrays.npz``) —
+        persistence as a first-class index capability, matching the
+        reference's one persisted family (``hnsw/src/template.rs:43-73``).
+        The trained centroids and the list assignment are saved, so
+        :meth:`load` never re-runs k-means."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(
+                {
+                    "format": "hnsw_rs_tpu.ivf.v1",
+                    "dim": self.dim,
+                    "n_lists": self.n_lists,
+                    "n_probe": self.n_probe,
+                    "kmeans_iters": self.kmeans_iters,
+                    "seed": self.seed,
+                    "metric": self.metric,
+                    "quantized_blocks": self.quantized_blocks,
+                    "n": self._n,
+                },
+                f,
+                indent=2,
+            )
+        n = self._n
+        arrays = {
+            "codes": np.asarray(self.codes)[:n],
+            "scales": np.asarray(self.scales)[:n],
+            "assign": np.asarray(self._assign)[:n],
+        }
+        if self.centroids is not None:
+            arrays["centroids"] = np.asarray(self.centroids)
+        np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFFlatIndex":
+        """Restore from :meth:`save`; blocks are repacked from the saved
+        codes + assignment (cheap) — k-means is NOT re-run."""
+        import json
+        import os
+
+        with open(os.path.join(path, "params.json")) as f:
+            meta = json.load(f)
+        if meta.get("format") != "hnsw_rs_tpu.ivf.v1":
+            raise ValueError(f"unknown index format in {path}")
+        index = cls(
+            meta["dim"],
+            n_lists=meta["n_lists"],
+            n_probe=meta["n_probe"],
+            kmeans_iters=meta["kmeans_iters"],
+            seed=meta["seed"],
+            metric=meta["metric"],
+            quantized_blocks=meta["quantized_blocks"],
+        )
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            index.codes = jnp.asarray(z["codes"])
+            index.scales = jnp.asarray(z["scales"])
+            index._assign = np.asarray(z["assign"])
+            if "centroids" in z:
+                index.centroids = jnp.asarray(z["centroids"])
+        index._n = int(meta["n"])
+        if index.centroids is not None and index._n:
+            index._pack()
+        return index
 
     # -- queries --------------------------------------------------------
 

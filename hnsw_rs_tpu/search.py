@@ -430,6 +430,14 @@ def ann_search_seeded(
     replaces at serving time. Seed selection uses ``lax.top_k`` (position
     tie-break) — entry choice is heuristic, results still come from the
     exact (d2, id)-ordered beam.
+
+    Numeric-form note: seed distances use the expanded matmul form
+    ``|q|² - 2q·p + |p|²`` (clamped at 0), while the beam recomputes
+    neighbor distances with the direct ``l2sq`` diff-square form. A seed
+    that survives into the final top-k therefore carries the matmul-form
+    distance, which can differ in ULPs from the packed path's for the
+    same id — downstream exact-distance comparisons must not assume
+    bit-parity with :func:`ann_search_packed`.
     """
     d2p = (
         jnp.sum(q * q, 1, keepdims=True)

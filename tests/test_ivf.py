@@ -105,14 +105,17 @@ def test_ivf_retrain_rebalances_lists_after_drift():
     ivf.train_add(base)  # centroids know nothing of the drift mode
     ivf.add(drift)       # all drift points pile into a few lists
     lmax_before = int(ivf.blocks.shape[1])
+    occ_before = int(ivf._counts.max())
     ivf.retrain()
-    # retraining moves centroids into the new mode: the padded block
-    # width (= max list occupancy = per-probe work) shrinks a lot and
-    # recall on the drifted mode stays high at a small probe count
-    assert int(ivf.blocks.shape[1]) < 0.5 * lmax_before
-    # equal-work comparison: 12 probes x the new (small) width is still
-    # less than half of 3 probes x the old width, and recall is high
-    assert 12 * int(ivf.blocks.shape[1]) < 0.5 * (3 * lmax_before)
+    # retraining moves centroids into the new mode: max list occupancy
+    # shrinks a lot (the padded block width adds <= ~25% add-headroom on
+    # top) and recall on the drifted mode stays high at a small probe
+    # count
+    assert int(ivf._counts.max()) < 0.5 * occ_before
+    assert int(ivf.blocks.shape[1]) < 0.6 * lmax_before
+    # work comparison: 12 probes x the new (small, headroom-padded) width
+    # still beats 3 probes x the old width, and recall is high
+    assert 12 * int(ivf.blocks.shape[1]) < 3 * lmax_before
     _, ids_after = ivf.search(queries, 10, n_probe=12)
     assert recall(ids_after, truth, 10) > 0.95
 
@@ -122,3 +125,65 @@ def test_ivf_untrained_search_raises():
 
     with pytest.raises(ValueError):
         IVFFlatIndex(8).search(gen_rand_vecs(2, 8, seed=13), 3)
+
+
+def test_ivf_save_load_roundtrip(tmp_path):
+    # persistence without re-running k-means: loaded index answers
+    # identically (same centroids, same blocks after repack)
+    d = 16
+    vecs = gen_rand_vecs(700, d, seed=14)
+    queries = gen_rand_vecs(24, d, seed=15)
+    ivf = IVFFlatIndex(d, n_lists=20, n_probe=5, seed=3)
+    ivf.train_add(vecs)
+    da, ia = ivf.search(queries, 8)
+    ivf.save(str(tmp_path / "ivf"))
+    back = IVFFlatIndex.load(str(tmp_path / "ivf"))
+    assert len(back) == 700 and back.n_lists == 20 and back.n_probe == 5
+    db, ib = back.search(queries, 8)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-6, atol=1e-6)
+    # the loaded index keeps working incrementally
+    more = gen_rand_vecs(50, d, seed=16)
+    ids = back.add(more)
+    assert ids[0] == 700 and len(back) == 750
+    _, self_ids = back.search(more[:16], 1, n_probe=20)
+    assert np.mean(self_ids[:, 0] == 700 + np.arange(16)) == 1.0
+
+
+def test_ivf_add_is_tail_scatter_not_repack():
+    # small adds scatter into headroom slots: the shared block width must
+    # NOT change, and results stay exact under full probe
+    d = 10
+    base = gen_rand_vecs(640, d, seed=17)
+    ivf = IVFFlatIndex(d, n_lists=16)
+    ivf.train_add(base)
+    w0 = int(ivf.blocks.shape[1])
+    rng = np.random.default_rng(18)
+    for i in range(5):
+        ivf.add(rng.standard_normal((7, d)).astype(np.float32))
+    assert int(ivf.blocks.shape[1]) == w0  # headroom absorbed the adds
+    assert len(ivf) == 640 + 35
+    # full-probe search is exact over everything stored
+    from hnsw_rs_tpu.ops.quant import dequantize
+
+    added = np.asarray(dequantize(ivf.codes[640:675], ivf.scales[640:675]))
+    _, self_ids = ivf.search(added, 1, n_probe=16)
+    assert np.mean(self_ids[:, 0] == 640 + np.arange(35)) == 1.0
+
+
+def test_flat_save_load_roundtrip(tmp_path):
+    import os
+
+    d = 14
+    vecs = gen_rand_vecs(300, d, seed=20)
+    queries = gen_rand_vecs(12, d, seed=21)
+    for quantized in (True, False):
+        flat = FlatIndex(d, quantized=quantized)
+        flat.add(vecs)
+        da, ia = flat.search(queries, 6)
+        flat.save(os.path.join(str(tmp_path), f"flat{quantized}"))
+        back = FlatIndex.load(os.path.join(str(tmp_path), f"flat{quantized}"))
+        assert back.quantized == quantized and len(back) == 300
+        db, ib = back.search(queries, 6)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_allclose(da, db, rtol=1e-6, atol=1e-6)
