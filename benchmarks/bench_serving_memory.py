@@ -1,0 +1,194 @@
+"""Serving memory/QPS frontier at N=1M (BASELINE's "equal index memory"
+condition): for each serving mode, device bytes per point actually held,
+the cheapest (ef, max_iters) clearing recall@10 >= 0.99, and measured QPS.
+
+Modes:
+  raw        — codes+scales (u8) table, plain hierarchical traversal
+  f32        — + dequantized f32 table cache (the round-1 default)
+  seed-plain — pivot seeds + PLAIN layer-0 gathers (finalize(packed=False)):
+               the memory-honest mode, ~2-3x raw index memory
+  packed     — packed layer-0 rows, hierarchical descent
+  packed+piv — packed rows + pivot seeds (the headline mode)
+
+Writes benchmarks/SERVING_MEMORY.json. Reuses bench.py's .bench_cache
+index. Run on the real TPU: python benchmarks/bench_serving_memory.py
+[--quick] (quick = N=100k).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.flat import _flat_search_tiled
+    from hnsw_rs_tpu.models.hnsw import (
+        _ann_jit,
+        _ann_packed_jit,
+        _ann_seeded_jit,
+        _ann_seeded_plain_jit,
+    )
+    from hnsw_rs_tpu.ops.distance import point_normsq
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
+
+    N = 100_000 if "--quick" in sys.argv else int(os.environ.get("HNSW_BENCH_N", "1000000"))
+    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 8192
+    cache = os.path.join(ROOT, ".bench_cache")
+    tag = f"n{N}_d{D}_m{M}_efc{EF_CONS}"
+    idx_dir = os.path.join(cache, f"idx_{tag}")
+    gt_path = os.path.join(cache, f"gt_n{N}_d{D}.npz")
+    os.makedirs(cache, exist_ok=True)
+
+    ds = synthetic_clustered(N, D, n_queries=NQ, seed=42)
+    if os.path.isdir(idx_dir):
+        index = HNSW.load(idx_dir)
+    else:
+        index = HNSW(M, ef_cons=EF_CONS, dim=D)
+        index.insert_bulk(ds.train)
+        index.save(idx_dir)
+
+    if os.path.exists(gt_path):
+        truth = np.load(gt_path)["ids"]
+    else:
+        qq = dequantize(*quantize(jnp.asarray(ds.test)))
+        normsq = point_normsq(index.points.codes, index.points.scales)
+        _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
+            qq, index.points.codes, index.points.scales, normsq
+        )
+        truth = np.asarray(ti)[:, :K]
+        np.savez_compressed(gt_path, ids=truth)
+    truth_sets = [set(t) for t in truth]
+    q1k = dequantize(*quantize(jnp.asarray(ds.test)))
+
+    # shared layout sizes (bytes)
+    cap0 = index.graph.get_layer(0).shape[1]
+    b_codes = N * D + N * 8
+    b_adj = sum(N * a.shape[1] * 4 for a in index.graph.adjs)
+    b_f32 = N * D * 4
+    b_packed = N * cap0 * (D + 12)
+    raw_base = b_codes + b_adj  # "raw index memory" denominator
+
+    index.finalize(pivots=PIVOTS)
+    packed0 = index._packed0
+    pivot_ids, pivot_vecs = index._pivots
+    b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
+    adjs = tuple(index.graph.adjs)
+    adj0 = index.graph.get_layer(0)
+    codes, scales = index.points.codes, index.points.scales
+    f32 = dequantize(codes, scales)
+    ep = jnp.asarray(index.params.ep, jnp.int32)
+
+    batch = 32768
+    big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
+    qbig = dequantize(*quantize(jnp.asarray(big)))
+
+    def measure(name, run, bytes_total, cands):
+        chosen = None
+        for ef, mi in cands:
+            _, ann = run(q1k, ef, mi)
+            rec = float(np.mean([
+                len(set(a) & t) / K for a, t in zip(np.asarray(ann), truth_sets)
+            ]))
+            if rec >= 0.99:
+                chosen = (ef, mi, rec)
+                break
+        if chosen is None:
+            chosen = (ef, mi, rec)
+        ef, mi, rec = chosen
+
+        @functools.partial(jax.jit, static_argnames=("ef", "mi"))
+        def search_sum(q, ef, mi):
+            d, i = run(q, ef, mi)
+            return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
+
+        int(search_sum(qbig, ef, mi))
+        t0 = time.time()
+        iters = 0
+        while time.time() - t0 < 4.0 or iters < 3:
+            int(search_sum(qbig, ef, mi))
+            iters += 1
+        qps = batch * iters / (time.time() - t0)
+        row = {
+            "mode": name,
+            "bytes_per_point": round(bytes_total / N, 1),
+            "x_raw_memory": round(bytes_total / raw_base, 2),
+            "qps": round(qps, 1),
+            "recall": round(rec, 4),
+            "gate_met": rec >= 0.99,
+            "ef": ef,
+            "max_iters": mi,
+        }
+        print(json.dumps(row), flush=True)
+        return row
+
+    hier_cands = [(64, 80), (96, 120), (128, 160), (128, 280), (192, 420),
+                  (256, 560)]
+    seed_cands = [(40, 24), (48, 28), (48, 32), (64, 40), (64, 56), (96, 80),
+                  (128, 112), (192, 200)]
+
+    rows = [
+        measure(
+            "raw",
+            lambda q, ef, mi: _ann_jit(adjs, codes, scales, q, ep, ef, K, mi),
+            b_codes + b_adj,
+            hier_cands,
+        ),
+        measure(
+            "f32",
+            lambda q, ef, mi: _ann_jit(adjs, f32, scales, q, ep, ef, K, mi),
+            b_codes + b_adj + b_f32,
+            hier_cands,
+        ),
+        measure(
+            "seed-plain",
+            lambda q, ef, mi: _ann_seeded_plain_jit(
+                adj0, f32, scales, pivot_ids, pivot_vecs, q, ef, K, mi
+            ),
+            b_codes + b_adj + b_f32 + b_piv,
+            seed_cands,
+        ),
+        measure(
+            "packed",
+            lambda q, ef, mi: _ann_packed_jit(
+                adjs[1:], packed0, codes, scales, q, ep, ef, K, mi
+            ),
+            b_codes + b_adj + b_packed,
+            hier_cands,
+        ),
+        measure(
+            "packed+piv",
+            lambda q, ef, mi: _ann_seeded_jit(
+                packed0, pivot_ids, pivot_vecs, q, ef, K, mi
+            ),
+            b_codes + b_adj + b_packed + b_piv,
+            seed_cands,
+        ),
+    ]
+    out = {
+        "n": N, "d": D, "m": M, "ef_cons": EF_CONS, "k": K,
+        "pivots": int(pivot_ids.shape[0]),
+        "raw_index_bytes_per_point": round(raw_base / N, 1),
+        "batch": batch,
+        "rows": rows,
+    }
+    with open(os.path.join(ROOT, "benchmarks", "SERVING_MEMORY.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote benchmarks/SERVING_MEMORY.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,13 +38,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graphs import LayeredGraph
-from .heuristic import select_heuristic
+from .heuristic import select_heuristic, select_heuristic_packed
 from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, SENTINEL
 from .params import Params
-from .search import greedy_descent, search_layer, seed_entry
+from .search import (
+    comb_table,
+    empty_packed,
+    greedy_descent,
+    pack_layer,
+    search_layer,
+    search_layer_packed,
+    seed_entry,
+)
 from .store import PointStore
 from .utils.progress import ProgressBar
+
+# Packed-build knobs. The packed layer-0 table costs cap*(d+12) bytes per
+# point of extra device memory during the build; it is enabled ('auto')
+# whenever that stays under the limit below. _FIX_CAP bounds the orphan-
+# repair rows repacked per wave; overflow (pathological hub floods only —
+# ramped builds see zero orphans) sets a stale flag that triggers a full
+# host-side repack (checked every _STALE_CHECK_EVERY waves and at layer
+# boundaries), keeping packed rows consistent with the adjacency.
+PACKED_BUILD_LIMIT = 8 << 30
+_FIX_CAP = 4096
+_STALE_CHECK_EVERY = 16
 
 
 # ---------------------------------------------------------------------------
@@ -92,6 +111,7 @@ def _wave_layer_step_impl(
     max_iters: int,
     extend_cands: bool = True,
     expand_e: int = 1,
+    packed=None,
 ):
     """One layer of the insertion pipeline for a whole wave
     (``Inserter::traverse_layers_below`` body, ``inserter.rs:91-126``):
@@ -104,9 +124,26 @@ def _wave_layer_step_impl(
     discovered is a superset of some E=1 prefix, so graph quality holds
     while iteration count drops ~E× — a build-throughput knob
     (``HNSW.insert_bulk(build_expand=...)``). E=1 is the oracle-pinned
-    reference semantics."""
+    reference semantics.
+
+    ``packed`` (optional): the layer's packed-neighbor table
+    (``search.pack_layer`` layout, kept incrementally up to date by
+    ``_apply_wave_impl``). When given, the beam search and the heuristic
+    extend pool each read ONE wide row per expansion instead of ~cap
+    narrow ones — identical results, ~cap× fewer gather rows on the
+    row-rate-bound path (DEVNOTES)."""
     safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
     q = dequantize(codes[safe], scales[safe])
+    if packed is not None:
+        beam_d2, beam_ids = search_layer_packed(
+            packed, q, entry_d2, entry_ids, ef, max_iters,
+            expand_e=expand_e, forbid=ids_w,
+        )
+        sel_d2, sel_ids = select_heuristic_packed(
+            packed, codes, scales, q, beam_d2, beam_ids, m,
+            extend_cands=extend_cands, keep_pruned=True, forbid=ids_w,
+        )
+        return sel_d2, sel_ids
     beam_d2, beam_ids = search_layer(
         adj, codes, scales, q, entry_d2, entry_ids, ef, max_iters,
         forbid=ids_w, expand_e=expand_e,
@@ -118,7 +155,24 @@ def _wave_layer_step_impl(
     return sel_d2, sel_ids
 
 
-def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
+def _pack_rows(comb, adj, rows, d: int):
+    """Packed u8 rows (``search.pack_layer`` layout) for ``rows`` read
+    from the FINAL adjacency + the combined code‖scale byte table
+    (``search.comb_table``). ``rows`` int32[R]; out-of-range rows produce
+    garbage the caller drops at scatter time."""
+    n, cap = adj.shape
+    r = rows.shape[0]
+    nbr = adj[jnp.clip(rows, 0, n - 1)]  # [R, cap]
+    safe = jnp.where(nbr >= 0, nbr, 0)
+    cs = comb[safe]  # [R, cap, d+8] u8 — the only per-neighbor gather
+    pk_codes = cs[..., :d].reshape(r, cap * d)
+    pk_scales = cs[..., d:].reshape(r, cap * 8)
+    id_bytes = jax.lax.bitcast_convert_type(nbr, jnp.uint8).reshape(r, cap * 4)
+    return jnp.concatenate([pk_codes, pk_scales, id_bytes], axis=1)
+
+
+def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
+                     packed=None, comb=None):
     """Apply one wave's connections at one layer, functionally.
 
     ``ids_w`` int32[W] (invalid lanes < 0), ``nbr_ids``/``nbr_d2`` [W, m]
@@ -213,6 +267,12 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
     # in-degree delta: -1 every surviving old entry, +1 every new entry
     indeg = indeg.at[jnp.where(ex >= 0, ex, n)].add(-1, mode="drop")
     indeg = indeg.at[jnp.where(new_rows >= 0, new_rows, n)].add(1, mode="drop")
+    # most reverse-edge candidates lose the prune and leave the target's
+    # row IDENTICAL — track that so the packed-repack below skips them
+    # (the repack scatter is row-rate-bound; unchanged rows are pure waste)
+    tgt_changed = jnp.any(
+        new_rows != jnp.where(ex >= 0, ex, SENTINEL), axis=1
+    )
     adj = adj.at[targets_u].set(new_rows, mode="drop")
 
     # 3. orphan repair. Two cases slip past the indeg<=1 protection: a new
@@ -240,7 +300,29 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids):
         jnp.where(f_ok, src_s, SENTINEL), mode="drop"
     )
     indeg = indeg.at[jnp.where(f_ok, src_s, n)].add(1, mode="drop")
-    return adj, indeg
+    if packed is None:
+        return adj, indeg
+
+    # 4. incremental repack of the packed-neighbor table: every row this
+    # wave rewrote — own rows, reverse-edge targets, and the (compacted)
+    # orphan-repair target rows — is rebuilt from the FINAL adjacency via
+    # the combined code‖scale table. frow is n-wide but almost always
+    # empty; compact its valid entries (a sorted prefix, since frow is
+    # derived from the ascending tfix_s) to _FIX_CAP lanes and flag the
+    # pathological overflow so the host can do a full repack.
+    d = codes.shape[1]
+    fix_rows = jnp.where(f_ok, frow, n)[: _FIX_CAP]
+    # stale iff any repair landed BEYOND the repacked prefix (f_ok is not
+    # guaranteed to be prefix-compact when one target absorbs > cap
+    # orphans, so test positions, not the count)
+    stale = jnp.any(f_ok[_FIX_CAP:]) if f_ok.shape[0] > _FIX_CAP \
+        else jnp.asarray(False)
+    targets_rp = jnp.where(tgt_changed, targets_u, n)  # unchanged -> drop
+    rows = jnp.concatenate([rows_idx, targets_rp, fix_rows])
+    packed = packed.at[rows].set(
+        _pack_rows(comb, adj, rows, d), mode="drop"
+    )
+    return adj, indeg, packed, stale
 
 
 def _prot_sort(prot, d2, ids):
@@ -270,6 +352,8 @@ def _insert_wave_fused_impl(
     layer_nb: int,
     extend_cands: bool = True,
     expand_e: int = 1,
+    packed0=None,
+    comb=None,
 ):
     """One whole wave as a single dispatch: greedy descent above the home
     layer, then (beam search -> select_heuristic -> apply) for every layer
@@ -281,6 +365,12 @@ def _insert_wave_fused_impl(
     returns the updated stacks. One dispatch per wave instead of ~2+3*L —
     that matters both through high-latency dev tunnels and for XLA's
     ability to overlap the per-layer stages.
+
+    ``packed0``/``comb`` (optional, together): layer 0's packed-neighbor
+    table + the combined code‖scale byte table. Layer-0 search/heuristic
+    then read packed rows (≥10× fewer gather rows — the build hot path)
+    and the apply step repacks exactly the rows it rewrote. Returns
+    ``(adjs, indegs, packed0, stale)`` in that mode.
     """
     safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
     q = dequantize(codes[safe], scales[safe])
@@ -300,20 +390,36 @@ def _insert_wave_fused_impl(
             adjs[lam], codes, scales, ids_w, entry_d2, entry_ids,
             ef=ef, m=m, max_iters=max_iters, extend_cands=extend_cands,
             expand_e=expand_e,
+            packed=packed0 if lam == 0 else None,
         )
         results.append((lam, sel_d2, sel_ids))
         entry_d2, entry_ids = sel_d2, sel_ids
+    stale = jnp.asarray(False)
     for lam, sel_d2, sel_ids in results:
-        new_adjs[lam], new_indegs[lam] = _apply_wave_impl(
-            adjs[lam], indegs[lam], codes, scales, ids_w, sel_d2, sel_ids
-        )
-    return tuple(new_adjs), tuple(new_indegs)
+        if lam == 0 and packed0 is not None:
+            new_adjs[0], new_indegs[0], packed0, stale = _apply_wave_impl(
+                adjs[0], indegs[0], codes, scales, ids_w, sel_d2, sel_ids,
+                packed=packed0, comb=comb,
+            )
+        else:
+            new_adjs[lam], new_indegs[lam] = _apply_wave_impl(
+                adjs[lam], indegs[lam], codes, scales, ids_w, sel_d2, sel_ids
+            )
+    if packed0 is None:
+        return tuple(new_adjs), tuple(new_indegs)
+    return tuple(new_adjs), tuple(new_indegs), packed0, stale
 
 
 _insert_wave_fused = functools.partial(
     jax.jit,
     static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e"),
     donate_argnames=("adjs", "indegs"),
+)(_insert_wave_fused_impl)
+
+_insert_wave_fused_pk = functools.partial(
+    jax.jit,
+    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e"),
+    donate_argnames=("adjs", "indegs", "packed0"),
 )(_insert_wave_fused_impl)
 
 
@@ -428,6 +534,39 @@ def repair_connectivity(
 # host orchestration
 
 
+class PackedBuildState:
+    """Host-side carrier for the build-time packed layer-0 table.
+
+    ``packed0`` is donated through every wave dispatch (updated in place);
+    ``comb`` is the read-only combined code‖scale byte table. Staleness
+    (the rare orphan-repair overflow, see ``_apply_wave_impl``) is OR-
+    accumulated as a DEVICE scalar so waves never block on a host sync;
+    :meth:`maybe_refresh` fetches it at checkpoints and does a full
+    repack when set — so packed rows can lag the adjacency by at most
+    ``_STALE_CHECK_EVERY`` waves, and only in hub-flood stress shapes
+    (ramped builds see zero orphan repairs).
+    """
+
+    def __init__(self, packed0, comb):
+        self.packed0 = packed0
+        self.comb = comb
+        self._stale_accum = jnp.asarray(False)
+
+    def note_stale(self, stale) -> None:
+        self._stale_accum = jnp.logical_or(self._stale_accum, stale)
+
+    def maybe_refresh(self, graph: LayeredGraph, store: PointStore) -> None:
+        if bool(self._stale_accum):  # one scalar fetch per checkpoint
+            self.refresh(graph, store)
+
+    def refresh(self, graph: LayeredGraph, store: PointStore) -> None:
+        n = self.packed0.shape[0]
+        self.packed0 = pack_layer(
+            graph.get_layer(0)[:n], store.codes[:n], store.scales[:n]
+        )
+        self._stale_accum = jnp.asarray(False)
+
+
 def insert_waves(
     graph: LayeredGraph,
     store: PointStore,
@@ -441,17 +580,20 @@ def insert_waves(
     wave_growth: float = 0.5,
     wave_cap: int = 4096,
     build_expand: int = 1,
+    packed_state: "PackedBuildState | None" = None,
 ) -> None:
     """Insert ``home_ids`` (all of level == layer_nb) wave by wave.
 
     Mutates ``graph`` in place (functionally replacing its layer arrays).
     The per-layer analogue of the thread fan-out at
-    ``template.rs:403-440``.
+    ``template.rs:403-440``. ``packed_state`` (optional) carries the
+    incrementally-maintained packed layer-0 table through the waves.
     """
     codes, scales = store.codes, store.scales
     nlayers = len(graph)
     ep_dev = jnp.asarray(ep, jnp.int32)
     off = 0
+    wave_i = 0
     for wsize in wave_schedule(len(home_ids), wave_base, wave_growth, wave_cap):
         wave = home_ids[off : off + wsize]
         off += wsize
@@ -462,16 +604,32 @@ def insert_waves(
 
         adjs = tuple(graph.get_layer(l) for l in range(nlayers))
         indegs = tuple(graph.indeg(l) for l in range(nlayers))
-        new_adjs, new_indegs = _insert_wave_fused(
-            adjs, indegs, codes, scales, ids_w, ep_dev,
-            ef=params.ef_cons, m=params.m, max_iters=max_iters,
-            layer_nb=layer_nb, extend_cands=params.extend_cands,
-            expand_e=build_expand,
-        )
+        if packed_state is not None:
+            new_adjs, new_indegs, packed0, stale = _insert_wave_fused_pk(
+                adjs, indegs, codes, scales, ids_w, ep_dev,
+                ef=params.ef_cons, m=params.m, max_iters=max_iters,
+                layer_nb=layer_nb, extend_cands=params.extend_cands,
+                expand_e=build_expand,
+                packed0=packed_state.packed0, comb=packed_state.comb,
+            )
+            packed_state.packed0 = packed0
+            packed_state.note_stale(stale)
+            wave_i += 1
+            if wave_i % _STALE_CHECK_EVERY == 0:
+                packed_state.maybe_refresh(graph, store)
+        else:
+            new_adjs, new_indegs = _insert_wave_fused(
+                adjs, indegs, codes, scales, ids_w, ep_dev,
+                ef=params.ef_cons, m=params.m, max_iters=max_iters,
+                layer_nb=layer_nb, extend_cands=params.extend_cands,
+                expand_e=build_expand,
+            )
         for lam in range(nlayers):
             graph.set_layer(lam, new_adjs[lam], new_indegs[lam])
         if bar is not None:
             bar.inc(wsize)
+    if packed_state is not None:
+        packed_state.maybe_refresh(graph, store)
 
 
 def build_index(
@@ -483,10 +641,21 @@ def build_index(
     wave_growth: float = 0.5,
     wave_cap: int = 4096,
     build_expand: int = 1,
-) -> tuple[LayeredGraph, int]:
+    packed_build: bool | str = "auto",
+) -> tuple[LayeredGraph, int, "jnp.ndarray | None"]:
     """Build the full layered graph for ``store`` (``insert_bulk``,
     ``template.rs:388-445``): per layer top-down, wave-insert that layer's
-    home nodes. Returns (graph, entry_point)."""
+    home nodes. Returns (graph, entry_point, packed0).
+
+    ``packed_build``: maintain a packed-neighbor layer-0 table
+    (``search.pack_layer`` layout) ACROSS the build and run layer-0
+    construction searches + heuristic pools over it — one wide row gather
+    per expansion instead of ~cap narrow ones, the dominant build cost on
+    the row-rate-bound gather path (DEVNOTES). 'auto' enables it while
+    the table stays under ``PACKED_BUILD_LIMIT`` bytes. The final table
+    is returned (it IS the serving pack — ``HNSW.finalize``'s layout —
+    so a packed build gets packed serving for free); None when disabled.
+    """
     n = len(store)
     levels = store.levels
     top = int(levels.max()) if n else 0
@@ -497,13 +666,31 @@ def build_index(
     ep = int(np.flatnonzero(levels == top)[0]) if n else 0
     if max_iters is None:
         max_iters = 2 * params.ef_cons + 16
+
+    d = int(store.codes.shape[1])
+    cap0 = graph.layer_cap(0)
+    packed_bytes = n * cap0 * (d + 12)
+    use_packed = packed_build is True or (
+        packed_build == "auto" and 0 < packed_bytes <= PACKED_BUILD_LIMIT
+    )
+    state = (
+        PackedBuildState(
+            empty_packed(n, cap0, d), comb_table(store.codes, store.scales)
+        )
+        if use_packed
+        else None
+    )
+
     bar = ProgressBar("building HNSW index", n, enabled=verbose)
     for layer_nb in range(top, -1, -1):
         home = np.flatnonzero(levels == layer_nb).astype(np.int32)
         insert_waves(
             graph, store, params, home, layer_nb, ep, max_iters, bar,
             wave_base, wave_growth, wave_cap, build_expand,
+            packed_state=state,
         )
     bar.finish()
-    repair_connectivity(graph, store)
-    return graph, ep
+    fixes = repair_connectivity(graph, store)
+    if state is not None and fixes:
+        state.refresh(graph, store)  # host repair bypassed the tracking
+    return graph, ep, (state.packed0 if state is not None else None)

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.distance import l2sq
+from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
 from .search import _gather_vecs
 
@@ -95,6 +96,74 @@ def build_candidate_pool(
     return sort_dist_id(pool_d2, pool_ids)
 
 
+_POOL_PACK_CHUNK = 8  # beam entries decoded per scan step: bounds the
+# [B, ech, cap, d] dequantize/l2sq temp to a few hundred MB at build sizes
+
+
+def build_candidate_pool_packed(
+    packed: jnp.ndarray,
+    q: jnp.ndarray,
+    cand_d2: jnp.ndarray,
+    cand_ids: jnp.ndarray,
+    extend: bool,
+    forbid: jnp.ndarray | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`build_candidate_pool` over the packed-neighbor layout
+    (``search.pack_layer``): ONE wide row gather per beam entry supplies
+    its neighbors' ids, codes AND scales, so the extend step costs
+    ``B*ef`` row gathers instead of ``B*ef*cap`` — the same row-rate
+    argument as serving (DEVNOTES), applied to construction. Distances
+    are bit-identical to the plain path (same codes/scales feed the same
+    dequantize + l2sq)."""
+    if not extend:
+        pool_d2, pool_ids = cand_d2, cand_ids
+        if forbid is not None:
+            bad = pool_ids == forbid[:, None]
+            pool_d2 = jnp.where(bad, INF, pool_d2)
+            pool_ids = jnp.where(bad, PAD_ID, pool_ids)
+        pool_d2, pool_ids = dedup_ids(pool_d2, pool_ids)
+        return sort_dist_id(pool_d2, pool_ids)
+    b, ef = cand_ids.shape
+    n, wrow = packed.shape
+    d = q.shape[1]
+    cap = wrow // (d + 12)
+    ech = min(_POOL_PACK_CHUNK, ef)
+    nch = -(-ef // ech)
+    efp = nch * ech
+    idsp = jnp.pad(cand_ids, ((0, 0), (0, efp - ef)), constant_values=PAD_ID)
+    chunks = jnp.moveaxis(idsp.reshape(b, nch, ech), 1, 0)  # [nch, B, ech]
+
+    def step(_, ch):
+        rows = packed[jnp.clip(ch, 0, n - 1)]  # [B, ech, wrow] u8
+        crow = rows[..., : cap * d].reshape(b, ech, cap, d)
+        srow = jax.lax.bitcast_convert_type(
+            rows[..., cap * d : cap * (d + 8)].reshape(b, ech, cap, 2, 4),
+            jnp.float32,
+        )
+        nbrs = jax.lax.bitcast_convert_type(
+            rows[..., cap * (d + 8) :].reshape(b, ech, cap, 4), jnp.int32
+        )
+        nd2 = l2sq(q[:, None, None, :], dequantize(crow, srow))
+        return None, (nbrs, nd2)
+
+    _, (nbrs_t, nd2_t) = jax.lax.scan(step, None, chunks)
+    nbrs = jnp.moveaxis(nbrs_t, 0, 1).reshape(b, efp, cap)[:, :ef]
+    nd2 = jnp.moveaxis(nd2_t, 0, 1).reshape(b, efp, cap)[:, :ef]
+    nvalid = jnp.logical_and(nbrs >= 0, (cand_ids != PAD_ID)[:, :, None])
+    nbrs = nbrs.reshape(b, ef * cap)
+    nvalid = nvalid.reshape(b, ef * cap)
+    nd2 = jnp.where(nvalid, nd2.reshape(b, ef * cap), INF)
+    nids = jnp.where(nvalid, nbrs, PAD_ID)
+    pool_d2 = jnp.concatenate([cand_d2, nd2], axis=1)
+    pool_ids = jnp.concatenate([cand_ids, nids], axis=1)
+    if forbid is not None:
+        bad = pool_ids == forbid[:, None]
+        pool_d2 = jnp.where(bad, INF, pool_d2)
+        pool_ids = jnp.where(bad, PAD_ID, pool_ids)
+    pool_d2, pool_ids = dedup_ids(pool_d2, pool_ids)
+    return sort_dist_id(pool_d2, pool_ids)
+
+
 def select_heuristic(
     adj: jnp.ndarray,
     codes: jnp.ndarray,
@@ -116,6 +185,42 @@ def select_heuristic(
     pool_d2, pool_ids = build_candidate_pool(
         adj, codes, scales, q, cand_d2, cand_ids, extend_cands, forbid
     )
+    return _accept_from_pool(codes, scales, q, pool_d2, pool_ids, m, keep_pruned)
+
+
+def select_heuristic_packed(
+    packed: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    cand_d2: jnp.ndarray,
+    cand_ids: jnp.ndarray,
+    m: int,
+    extend_cands: bool = True,
+    keep_pruned: bool = True,
+    forbid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`select_heuristic` with the extend pool built from the
+    packed-neighbor layout (identical results; ~cap× fewer gather rows in
+    the pool build — the construction-path hot spot)."""
+    pool_d2, pool_ids = build_candidate_pool_packed(
+        packed, q, cand_d2, cand_ids, extend_cands, forbid
+    )
+    return _accept_from_pool(codes, scales, q, pool_d2, pool_ids, m, keep_pruned)
+
+
+def _accept_from_pool(
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    pool_d2: jnp.ndarray,
+    pool_ids: jnp.ndarray,
+    m: int,
+    keep_pruned: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Resolve the Algorithm-4 accept chain over a sorted, deduplicated
+    candidate pool (see module docstring for the chunked pairwise-resolve
+    design)."""
     b, c = pool_ids.shape
     d = q.shape[1]
 
@@ -148,9 +253,36 @@ def select_heuristic(
 
     m_iota = jnp.arange(m, dtype=jnp.int32)[None, None, :]
 
-    def chunk_step(carry, xs):
-        sel_vecs, sel_ids, sel_valid, nacc, stop = carry
-        cd2, cids, cbase = xs  # [B, G], [B, G], scalar chunk base
+    # EARLY-EXIT chunk loop: the pool is sorted by (d2, id) and the m
+    # acceptances (plus all processed-and-rejected backfill candidates)
+    # land in the first few chunks for nearly every query, so iterating
+    # all C/G chunks wastes most of the per-chunk gather+matmul work.
+    # A while_loop stops as soon as EVERY query has m acceptances;
+    # unprocessed chunk positions can never be accepted (pass mask needs
+    # nacc < m) nor backfilled (rejected needs pos < stop, and stop is
+    # already set), so the early exit is EXACT.
+    # valid_chunks: chunks at/after which the pool is all-PAD for EVERY
+    # query are exact no-ops (cvalid false everywhere -> empty pass mask)
+    # and the sort guarantees PADs are a suffix — skip them. dedup turns
+    # the ~ef*cap raw pool's heavy duplicate tail into PADs, so this cuts
+    # the chunk sweep to ceil(max-unique-count / G) instead of C/G.
+    npad_tail = jnp.sum(
+        jnp.cumsum(
+            jnp.flip(jnp.all(pool_idsp == PAD_ID, axis=0)), axis=0
+        ) == jnp.arange(1, cp + 1)
+    )
+    valid_chunks = -((-(cp - npad_tail)) // g)
+
+    def chunk_cond(carry):
+        ci = carry[0]
+        nacc = carry[4]
+        return jnp.logical_and(ci < valid_chunks, jnp.any(nacc < m))
+
+    def chunk_body(carry):
+        ci, sel_vecs, sel_ids, sel_valid, nacc, stop, accepted = carry
+        cbase = ci * g
+        cd2 = jax.lax.dynamic_slice(pool_d2p, (0, cbase), (b, g))
+        cids = jax.lax.dynamic_slice(pool_idsp, (0, cbase), (b, g))
         cvecs = _gather_vecs(
             codes, scales, jnp.where(cids == PAD_ID, 0, cids)
         )  # [B, G, d]
@@ -243,18 +375,16 @@ def select_heuristic(
         sel_ids = jnp.where(upd, ids_new, sel_ids)
         sel_vecs = jnp.where(upd[:, :, None], vecs_new, sel_vecs)
         sel_valid = jnp.logical_or(sel_valid, upd)
-        return (sel_vecs, sel_ids, sel_valid, nacc, stop), taken
+        accepted = jax.lax.dynamic_update_slice(accepted, taken, (0, cbase))
+        return (ci + 1, sel_vecs, sel_ids, sel_valid, nacc, stop, accepted)
 
-    bases = jnp.arange(nchunks, dtype=jnp.int32) * g
-    xs = (
-        pool_d2p.reshape(b, nchunks, g).swapaxes(0, 1),
-        pool_idsp.reshape(b, nchunks, g).swapaxes(0, 1),
-        bases,
+    accepted0 = jnp.zeros((b, cp), bool)
+    (_, _, _, _, nacc, stop, accepted) = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (jnp.int32(0), sel_vecs0, sel_ids0, sel_valid0, nacc0, stop0,
+         accepted0),
     )
-    (_, _, _, nacc, stop), taken_t = jax.lax.scan(
-        chunk_step, (sel_vecs0, sel_ids0, sel_valid0, nacc0, stop0), xs
-    )
-    accepted = jnp.moveaxis(taken_t, 0, 1).reshape(b, cp)[:, :c]
+    accepted = accepted[:, :c]
 
     # keep_pruned backfill: processed-and-rejected candidates (positions
     # before the m-th acceptance, not accepted) in pool order fill the

@@ -29,6 +29,7 @@ from ..search import (
     ann_search,
     ann_search_packed,
     ann_search_seeded,
+    ann_search_seeded_plain,
     pack_layer,
 )
 from ..store import PointStore
@@ -72,6 +73,19 @@ def _ann_seeded_jit(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("ef", "k", "max_iters", "expand_e")
+)
+def _ann_seeded_plain_jit(
+    adj0, table, scales, pivot_ids, pivot_vecs, q, ef, k, max_iters,
+    expand_e=1,
+):
+    return ann_search_seeded_plain(
+        adj0, table, scales, pivot_ids, pivot_vecs, q, ef, k, max_iters,
+        expand_e,
+    )
+
+
 class HNSW:
     """Hierarchical Navigable Small World index on TPU."""
 
@@ -111,6 +125,7 @@ class HNSW:
         # pivot-seeded serving (finalize(pivots=...)): MXU matmul against
         # the upper-layer skeleton replaces greedy descent at query time
         self._pivots = None
+        self._pivots_n = -1
         # pending incremental inserts, batched into waves (amortizes the
         # one-wave-per-insert_vec dispatch, ~214 ms/call on the dev
         # tunnel); flushed on any read or at pending_flush_size
@@ -182,10 +197,15 @@ class HNSW:
         )
         new_ids = self.points.extend(new)
         if fresh:
-            self.graph, ep = build_index(
+            self.graph, ep, packed0 = build_index(
                 self.points, self.params, verbose=verbose, **build_kwargs
             )
             self.params.ep = ep
+            if packed0 is not None:
+                # a packed build maintains the serving layout as it goes —
+                # keep it: packed serving (finalize()'s layout) for free
+                self._packed0 = packed0
+                self._packed_n = len(self)
         else:
             self._extend_built(new_ids, verbose=verbose, **build_kwargs)
         return self
@@ -227,7 +247,11 @@ class HNSW:
         )
         new_ids = self.points.extend(new)
         if len(self.points) == vectors.shape[0]:  # was empty: fresh build
-            self.graph, ep = build_index(self.points, self.params)
+            self.graph, ep, packed0 = build_index(self.points, self.params)
+            self.params.ep = ep  # (was dropped before: queries entered at 0)
+            if packed0 is not None:
+                self._packed0 = packed0
+                self._packed_n = len(self.points)
             self.params.ep = ep
         else:
             self._extend_built(new_ids, verbose=False)
@@ -315,18 +339,27 @@ class HNSW:
         qc, qs = quantize(jnp.asarray(queries))
         q = dequantize(qc, qs)
         ep = jnp.asarray(self.params.ep, jnp.int32)
-        if self._packed0 is not None and self._packed_n == len(self):
-            if self._pivots is not None:
-                d, i = _ann_seeded_jit(
-                    self._packed0, self._pivots[0], self._pivots[1],
-                    q, ef, n, max_iters, self.serve_expand,
-                )
-            else:
-                d, i = _ann_packed_jit(
-                    tuple(self.graph.adjs[1:]), self._packed0,
-                    self.points.codes, self.points.scales, q, ep,
-                    ef, n, max_iters, self.serve_expand,
-                )
+        pack_fresh = self._packed0 is not None and self._packed_n == len(self)
+        piv_fresh = self._pivots is not None and self._pivots_n == len(self)
+        if pack_fresh and piv_fresh:
+            d, i = _ann_seeded_jit(
+                self._packed0, self._pivots[0], self._pivots[1],
+                q, ef, n, max_iters, self.serve_expand,
+            )
+        elif pack_fresh:
+            d, i = _ann_packed_jit(
+                tuple(self.graph.adjs[1:]), self._packed0,
+                self.points.codes, self.points.scales, q, ep,
+                ef, n, max_iters, self.serve_expand,
+            )
+        elif piv_fresh:
+            # memory-honest seeded mode (finalize(..., packed=False)):
+            # pivot seeds + plain layer-0 gathers — no packed rows held
+            d, i = _ann_seeded_plain_jit(
+                self.graph.get_layer(0), self._serving_table(),
+                self.points.scales, self._pivots[0], self._pivots[1],
+                q, ef, n, max_iters, self.serve_expand,
+            )
         else:
             table = self._serving_table()
             d, i = _ann_jit(
@@ -335,7 +368,7 @@ class HNSW:
             )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
-    def finalize(self, expand: int = 1, pivots: int = 0) -> "HNSW":
+    def finalize(self, expand: int = 1, pivots: int = 0, packed: bool = True) -> "HNSW":
         """Build the packed-neighbor serving layout for layer 0.
 
         Trades ~``cap*(dim+12)`` bytes per point of extra HBM for a
@@ -361,7 +394,16 @@ class HNSW:
         Re-run after inserts (a stale pack is detected and bypassed,
         never served). Returns self."""
         self.flush()
-        if len(self.graph) > 0:
+        if not packed:
+            # memory-honest mode (``packed=False``): drop/skip the
+            # cap*(d+12) B/point packed rows; with ``pivots`` > 0 queries
+            # use pivot seeds + plain layer-0 gathers
+            # (``search.ann_search_seeded_plain``)
+            self._packed0 = None
+            self._packed_n = -1
+        elif len(self.graph) > 0 and self._packed_n != len(self):
+            # (a packed build already left a fresh pack — _packed_n
+            # matches — so only re-pack after load / plain build / insert)
             self._packed0 = pack_layer(
                 self.graph.get_layer(0), self.points.codes, self.points.scales
             )
@@ -392,8 +434,10 @@ class HNSW:
             ids = jnp.asarray(ids.astype(np.int32))
             vecs = dequantize(self.points.codes[ids], self.points.scales[ids])
             self._pivots = (ids, vecs)
+            self._pivots_n = len(self)
         elif pivots == 0:
             self._pivots = None
+            self._pivots_n = -1
         return self
 
     def _serving_table(self) -> "jnp.ndarray":

@@ -211,3 +211,237 @@ class PagedHNSW:
 
     def ann_by_vector(self, vector: np.ndarray, n: int, ef: int) -> np.ndarray:
         return self.ann_batch(np.asarray(vector, np.float32)[None], n, ef)[1][0]
+
+    # -- shared host-side helpers for the hybrid tier ------------------------
+
+    def _codes_scales(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Raw (codes u8 [K, d], scales f32 [K, 2]) for a flat id array,
+        block-batched through the BlockStore LRU."""
+        ids = np.asarray(ids, np.int64).ravel()
+        codes = np.empty((ids.size, self.store.dim), np.uint8)
+        scales = np.empty((ids.size, 2), np.float32)
+        blocks = ids // self.store.max_per_block
+        pos = ids % self.store.max_per_block
+        for b in np.unique(blocks):
+            c, s, _ = self.store._load_block(int(b))
+            sel = blocks == b
+            codes[sel] = c[pos[sel]]
+            scales[sel] = s[pos[sel]]
+        return codes, scales
+
+    def _packed_rows_host(self, ids: np.ndarray) -> np.ndarray:
+        """Packed rows (``search.pack_layer`` byte layout) for ``ids``,
+        assembled host-side from the memmap adjacency + paged blocks."""
+        ids = np.asarray(ids, np.int64).ravel()
+        cap = self.adj0.shape[1]
+        d = self.store.dim
+        adj = np.asarray(self.adj0[np.clip(ids, 0, self.n - 1)])  # [K, cap]
+        safe = np.where(adj >= 0, adj, 0).ravel()
+        codes, scales = self._codes_scales(safe)
+        k = ids.size
+        return np.concatenate(
+            [
+                codes.reshape(k, cap * d),
+                scales.view(np.uint8).reshape(k, cap * 8),
+                adj.astype(np.int32).view(np.uint8).reshape(k, cap * 4),
+            ],
+            axis=1,
+        )
+
+
+class HybridPagedHNSW(PagedHNSW):
+    """Paged serving with a DEVICE hot tier (round-3; beats the intent of
+    ``hnsw/src/disk.rs:22-109``, whose graph half is stubs).
+
+    Device-resident (bounded by ``hot_bytes``): packed layer-0 rows of the
+    highest-in-degree nodes (hub rows serve most beam expansions), a
+    global id->hot-slot map, and a pivot skeleton (the level>=1 nodes'
+    vectors) that seeds each query's beam with one MXU matmul. Cold
+    expansions page their packed row from disk (BlockStore LRU + memmap
+    adjacency) and ride one compact host->device staging upload per beam
+    iteration, batched across the whole query batch.
+
+    The beam body is the exact ``search._beam_loop`` iteration (same
+    (d2, id) order, beam-membership + ring dedup, same termination), so
+    results match the in-memory packed index given the same seeds; the
+    hot tier only changes WHERE a row is fetched from. Working set:
+    O(hot_bytes + batch × ef + block cache) — independent of N.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        hot_bytes: int = 512 << 20,
+        pivots: int = 8192,
+        cache_blocks: int = 1024,
+    ):
+        super().__init__(path, cache_blocks=cache_blocks)
+        import jax.numpy as jnp
+
+        cap = self.adj0.shape[1]
+        d = self.store.dim
+        self._cap, self._d = cap, d
+        self._wrow = cap * (d + 12)
+        h = int(min(self.n, max(1, hot_bytes // self._wrow)))
+
+        # hot set = top in-degree rows, one chunked pass over the memmap
+        indeg = np.zeros(self.n + 1, np.int64)
+        ch = 1 << 16
+        for lo in range(0, self.n, ch):
+            rows = np.asarray(self.adj0[lo : lo + ch])
+            v = rows[rows >= 0]
+            indeg[: self.n] += np.bincount(v, minlength=self.n)
+        hot_ids = np.argpartition(-indeg[: self.n], h - 1)[:h]
+        hot_ids.sort()
+        slot = np.full(self.n, -1, np.int32)
+        slot[hot_ids] = np.arange(h, dtype=np.int32)
+        self._slot_host = slot
+        self._hot_packed = jnp.asarray(self._packed_rows_host(hot_ids))
+        self.hot_rows = h
+        self.hits = 0  # hot-tier expansion counters (observability)
+        self.misses = 0
+
+        # pivot skeleton: level>=1 nodes (evenly subsampled to budget)
+        piv = np.flatnonzero(self.levels >= 1)
+        if piv.size == 0:
+            piv = np.arange(min(self.n, max(1, pivots)))
+        if piv.size > pivots:
+            pick = np.unique(
+                np.linspace(0, piv.size - 1, pivots).round().astype(np.int64)
+            )
+            piv = piv[pick]
+        pc, ps = self._codes_scales(piv)
+        self._pivot_ids = jnp.asarray(piv.astype(np.int32))
+        self._pivot_vecs = jnp.asarray(
+            pc.astype(np.float32) * ps[:, 1:2] + ps[:, 0:1]
+        )
+
+    def ann_batch(
+        self, queries: np.ndarray, n: int, ef: int, max_iters: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched hybrid query: device beam over the hot tier, cold rows
+        staged per iteration. Returns (distances [B, n], ids [B, n])."""
+        import jax.numpy as jnp
+
+        from ..ops.quant import quantize
+        from ..search import _pivot_seeds, init_beam
+
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.params.metric == "cosine":
+            nn = np.linalg.norm(queries, axis=-1, keepdims=True)
+            queries = queries / np.where(nn > 0, nn, 1.0)
+        c, s = quantize(jnp.asarray(queries))
+        q = c.astype(jnp.float32) * s[:, 1:2] + s[:, 0:1]
+        ef = max(ef, n)
+        if max_iters is None:
+            max_iters = 2 * ef + 16
+        b = int(q.shape[0])
+        cap = self._cap
+        ring_size = max(2 * cap, 64)
+
+        e_d2, e_ids = _pivot_seeds(self._pivot_ids, self._pivot_vecs, q, ef)
+        beam_d2, beam_ids, beam_exp = init_beam(e_d2, e_ids, ef)
+        k0 = e_ids.shape[1]
+        ring = jnp.full((b, ring_size), PAD_ID, jnp.int32)
+        ring = jnp.concatenate([e_ids, ring[:, : ring_size - k0]], axis=1) \
+            if ring_size > k0 else e_ids[:, :ring_size]
+
+        for _ in range(max_iters):
+            cand, active, beam_exp = _hyb_pick(beam_d2, beam_ids, beam_exp)
+            cand_h = np.asarray(cand)
+            act_h = np.asarray(active)
+            if not act_h.any():
+                break
+            cold_lanes = np.flatnonzero(
+                act_h & (self._slot_host[np.clip(cand_h, 0, self.n - 1)] < 0)
+            )
+            self.misses += int(cold_lanes.size)
+            self.hits += int(act_h.sum()) - int(cold_lanes.size)
+            # compact cold staging, padded to a pow2 bucket to bound the
+            # number of compiled variants
+            cpad = max(8, 1 << int(cold_lanes.size - 1).bit_length()) \
+                if cold_lanes.size else 8
+            lanes = np.full(cpad, b, np.int32)  # b = out-of-range drop
+            lanes[: cold_lanes.size] = cold_lanes
+            rows_cold = np.zeros((cpad, self._wrow), np.uint8)
+            if cold_lanes.size:
+                rows_cold[: cold_lanes.size] = self._packed_rows_host(
+                    cand_h[cold_lanes]
+                )
+            beam_d2, beam_ids, beam_exp, ring = _hyb_expand(
+                self._hot_packed,
+                jnp.asarray(self._slot_host[np.clip(cand_h, 0, self.n - 1)]),
+                jnp.asarray(rows_cold), jnp.asarray(lanes),
+                beam_d2, beam_ids, beam_exp, ring, q, cand, active,
+                cap=cap, d=self._d,
+            )
+
+        beam_d2 = np.asarray(beam_d2)
+        beam_ids = np.asarray(beam_ids)
+        return np.sqrt(beam_d2[:, :n]), beam_ids[:, :n]
+
+
+def _lazy_jits():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.distance import l2sq
+    from ..ops.topk import INF as _INF
+    from ..ops.topk import merge_sorted_dist_id, sort_dist_id
+    from ..search import unpack_rows
+
+    @jax.jit
+    def pick(beam_d2, beam_ids, beam_exp):
+        unexp = jnp.logical_not(beam_exp)
+        active = jnp.any(unexp, axis=1)
+        pos = jnp.argmax(unexp, axis=1)
+        cand = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
+        slot_iota = jnp.arange(beam_ids.shape[1], dtype=jnp.int32)[None, :]
+        hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
+        return cand, active, jnp.logical_or(beam_exp, hit)
+
+    @functools.partial(jax.jit, static_argnames=("cap", "d"))
+    def expand(hot_packed, slot, rows_cold, lanes, beam_d2, beam_ids,
+               beam_exp, ring, q, cand, active, cap, d):
+        b = q.shape[0]
+        rows = hot_packed[jnp.clip(slot, 0, hot_packed.shape[0] - 1)]
+        rows = rows.at[lanes].set(rows_cold, mode="drop")
+        nbrs, vecs = unpack_rows(rows, cap, d)
+        # exact search._beam_loop body_1 semantics from here on
+        valid = jnp.logical_and(nbrs >= 0, active[:, None])
+        nbrs_safe = jnp.where(valid, nbrs, 0)
+        known = jnp.logical_or(
+            jnp.any(nbrs_safe[:, :, None] == beam_ids[:, None, :], axis=-1),
+            jnp.any(nbrs_safe[:, :, None] == ring[:, None, :], axis=-1),
+        )
+        new = jnp.logical_and(valid, jnp.logical_not(known))
+        ring_size = ring.shape[1]
+        ring = jnp.concatenate(
+            [jnp.where(new, nbrs, jnp.int32(PAD_ID)),
+             ring[:, : ring_size - cap]], axis=1
+        )
+        nd2 = l2sq(q[:, None, :], vecs)
+        nd2 = jnp.where(new, nd2, _INF)
+        nids = jnp.where(new, nbrs, jnp.int32(PAD_ID))
+        nd2, nids, nexp = sort_dist_id(nd2, nids, jnp.logical_not(new))
+        md2, mids, mexp = merge_sorted_dist_id(
+            beam_d2, beam_ids, nd2, nids, beam_exp, nexp
+        )
+        ef = beam_ids.shape[1]
+        return md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring
+
+    return pick, expand
+
+
+def _hyb_pick(*a):
+    global _hyb_pick, _hyb_expand
+    _hyb_pick, _hyb_expand = _lazy_jits()
+    return _hyb_pick(*a)
+
+
+def _hyb_expand(*a, **k):
+    global _hyb_pick, _hyb_expand
+    _hyb_pick, _hyb_expand = _lazy_jits()
+    return _hyb_expand(*a, **k)

@@ -30,9 +30,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.hnsw import HNSW
 from ..ops.quant import dequantize, quantize
-from ..ops.topk import PAD_ID, sort_dist_id
+from ..ops.topk import INF, PAD_ID, sort_dist_id
 from ..params import Params
-from ..search import ann_search
+from ..search import ann_search, pack_layer, search_layer_packed
 from .mesh import make_mesh
 
 
@@ -79,6 +79,62 @@ def sharded_query(mesh, adjs_s, codes_s, scales_s, gids_s, eps_s, q, ef, k, max_
         out_specs=(P("data"), P("data")),
         check_vma=False,
     )(adjs_s, codes_s, scales_s, gids_s, eps_s, q)
+
+
+def sharded_query_seeded(
+    mesh, packed_s, pivot_ids_s, pivot_vecs_s, gids_s, q,
+    ef, k, max_iters, expand_e=1,
+):
+    """Mesh-wide pivot-seeded query over per-shard packed layouts — the
+    round-2 single-chip serving wins (packed rows + pivot seeding,
+    ``search.ann_search_seeded``) lifted into the scale-out path: every
+    shard runs one MXU matmul against ITS pivot skeleton, seeds its local
+    layer-0 beam over ITS packed rows, and the per-shard top-k merge
+    rides the same ``all_gather`` + (dist, id) sort as the plain path.
+
+    ``packed_s`` u8[S, Ns, cap*(d+12)]; ``pivot_ids_s`` i32[S, P] (pad
+    rows -1); ``pivot_vecs_s`` f32[S, P, d]; ``q`` f32[B, d] sharded over
+    ``data``. Returns global-id (sqrt-distance, id) top-k.
+    """
+
+    def per_shard(packed, pids, pvecs, gids, q):
+        vary = lambda x, ax: jax.lax.pcast(x, ax, to="varying")
+        packed, pids, pvecs, gids = (
+            vary(x[0], ("data",)) for x in (packed, pids, pvecs, gids)
+        )
+        q = vary(q, ("shard",))
+        d2p = (
+            jnp.sum(q * q, 1, keepdims=True)
+            - 2.0 * jnp.dot(q, pvecs.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            + jnp.sum(pvecs * pvecs, 1)[None, :]
+        )
+        d2p = jnp.where(pids[None, :] >= 0, d2p, INF)  # mask pivot pads
+        s = min(ef, pids.shape[0])
+        nv, pos = jax.lax.approx_max_k(-d2p, s, recall_target=0.95)
+        e_ids = pids[pos]  # [B, s]
+        e_d2 = jnp.where(e_ids >= 0, jnp.maximum(-nv, 0.0), INF)
+        e_ids = jnp.where(e_ids >= 0, e_ids, PAD_ID)
+        beam_d2, beam_ids = search_layer_packed(
+            packed, q, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+        )
+        safe = jnp.clip(beam_ids, 0, gids.shape[0] - 1)
+        gl = jnp.where(beam_ids == PAD_ID, PAD_ID, gids[safe])
+        d2 = jnp.sqrt(beam_d2)
+        d2_all = jax.lax.all_gather(d2[:, :k], "shard", axis=1, tiled=True)
+        gl_all = jax.lax.all_gather(gl[:, :k], "shard", axis=1, tiled=True)
+        md, mi = sort_dist_id(d2_all, gl_all)
+        return md[:, :k], mi[:, :k]
+
+    return jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(
+            P("shard"), P("shard"), P("shard"), P("shard"), P("data"),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )(packed_s, pivot_ids_s, pivot_vecs_s, gids_s, q)
 
 
 def sharded_wave_step(
@@ -144,8 +200,18 @@ class ShardedHNSW:
         self.mesh = mesh if mesh is not None else make_mesh(1, n_shards)
         self.shards: list[HNSW] = []
         self._stacked = None
+        self._levels = None  # host i32[S, ns] per-shard point levels
+        self._counts = None  # host i64[S] live points per shard
+        self._level_calls = 0  # deterministic level-stream position
+        # packed + pivot-seeded serving state (finalize()); _pack_n tracks
+        # freshness like HNSW._packed_n — any add() invalidates it
+        self._packed = None
+        self._pack_n = -1
+        self.serve_expand = 1
 
     def __len__(self) -> int:
+        if self._counts is not None:
+            return int(self._counts.sum())
         if self._stacked is not None:
             return int(np.sum(np.asarray(self._stacked["gids"]) >= 0))
         return sum(len(s) for s in self.shards)
@@ -169,6 +235,8 @@ class ShardedHNSW:
         vectors = np.asarray(vectors, np.float32)
         self.shards = []
         self._stacked = None
+        self._packed = None
+        self._pack_n = -1
         n = vectors.shape[0]
         bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
         self._offsets = bounds[:-1]
@@ -252,6 +320,8 @@ class ShardedHNSW:
             "eps": eps_d,
             "adjs": adjs,
         }
+        self._levels = levels
+        self._counts = (bounds[1:] - bounds[:-1]).astype(np.int64)
 
     def _stack(self) -> None:
         """Stack per-shard arrays to [S, ...] with uniform padding."""
@@ -284,6 +354,302 @@ class ShardedHNSW:
             "eps": dev(eps),
             "adjs": tuple(dev(a) for a in adjs),
         }
+        levels = np.full((S, ns), -1, np.int32)
+        for s, sub in enumerate(self.shards):
+            levels[s, : len(sub)] = np.asarray(sub.points.levels)[: len(sub)]
+        self._levels = levels
+        self._counts = np.asarray([len(s) for s in self.shards], np.int64)
+
+    # -- incremental insert ------------------------------------------------
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Incremental insert into the BUILT sharded index — no rebuild.
+
+        New vectors are assigned round-robin starting from the least-
+        loaded shards (keeps shards balanced under skewed add streams),
+        appended to each shard's tail rows (stacks grow geometrically),
+        and wave-inserted into the existing per-shard sub-graphs with the
+        same shard_map'd fused wave step the concurrent builder uses.
+        Returns the new points' global ids (stable, insertion-ordered).
+        """
+        if self._stacked is None:
+            raise ValueError("index is empty: call insert_bulk first")
+        from ..build import _bucket, wave_schedule
+        from ..store import sample_levels
+
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return np.zeros((0,), np.int64)
+        S = self.n_shards
+        p = self.params
+        st = self._stacked
+        self._packed = None  # serving pack goes stale
+        self._pack_n = -1
+
+        # balanced round-robin assignment: least-loaded shards first
+        order = np.argsort(self._counts, kind="stable")
+        shard_of = order[np.arange(n_new) % S]
+        gid0 = int(self._counts.sum())
+        new_gids = gid0 + np.arange(n_new)
+        lv_new = sample_levels(n_new, p.ml, seed=S + self._level_calls)
+        self._level_calls += 1
+
+        # per-shard local placements
+        k_s = np.bincount(shard_of, minlength=S)
+        ns_old = int(self._levels.shape[1])
+        need = int((self._counts + k_s).max())
+        ns = ns_old if need <= ns_old else max(need, 2 * ns_old)
+        shard = NamedSharding(self.mesh, P("shard"))
+        dev = lambda x: jax.device_put(x, shard)
+        if ns != ns_old:
+            pad = ns - ns_old
+            st["codes"] = dev(jnp.pad(st["codes"], ((0, 0), (0, pad), (0, 0))))
+            st["scales"] = dev(jnp.pad(st["scales"], ((0, 0), (0, pad), (0, 0))))
+            st["gids"] = dev(jnp.pad(st["gids"], ((0, 0), (0, pad)),
+                                     constant_values=-1))
+            st["adjs"] = tuple(
+                dev(jnp.pad(a, ((0, 0), (0, pad), (0, 0)),
+                            constant_values=-1))
+                for a in st["adjs"]
+            )
+            self._levels = np.pad(self._levels, ((0, 0), (0, pad)),
+                                  constant_values=-1)
+
+        # grow the layer stack if a new node draws a new top level
+        top_old = len(st["adjs"]) - 1
+        top_new = max(top_old, int(lv_new.max()))
+        for l in range(top_old + 1, top_new + 1):
+            st["adjs"] = st["adjs"] + (
+                dev(jnp.full((S, ns, p.layer_cap(l)), -1, jnp.int32)),
+            )
+
+        # write the new rows (codes/scales/gids/levels) per shard
+        codes_new, scales_new = quantize(jnp.asarray(vectors))
+        codes_new = np.asarray(codes_new)
+        scales_new = np.asarray(scales_new)
+        eps = np.asarray(st["eps"]).copy()
+        local_of = np.empty(n_new, np.int64)
+        codes_h = None
+        for s in range(S):
+            sel = np.flatnonzero(shard_of == s)
+            if sel.size == 0:
+                continue
+            rows = int(self._counts[s]) + np.arange(sel.size)
+            local_of[sel] = rows
+            st["codes"] = st["codes"].at[s, rows].set(codes_new[sel])
+            st["scales"] = st["scales"].at[s, rows].set(scales_new[sel])
+            st["gids"] = st["gids"].at[s, rows].set(
+                jnp.asarray(new_gids[sel].astype(np.int32))
+            )
+            self._levels[s, rows] = lv_new[sel]
+            # a new per-shard top level moves that shard's entry point
+            old_max = int(self._levels[s, : int(self._counts[s])].max()) \
+                if self._counts[s] else -1
+            if sel.size and int(lv_new[sel].max()) > old_max:
+                eps[s] = int(rows[np.argmax(lv_new[sel])])
+            self._counts[s] += sel.size
+        st["codes"] = dev(st["codes"])
+        st["scales"] = dev(st["scales"])
+        st["gids"] = dev(st["gids"])
+        st["eps"] = dev(jnp.asarray(eps))
+
+        # recompute per-layer in-degrees (not retained post-build), then
+        # wave-insert the new homes per layer top-down
+        def _indeg(a):
+            nsr = a.shape[1]
+            flat = jnp.where(a[0] >= 0, a[0], nsr).reshape(-1)
+            return jnp.zeros((1, nsr), jnp.int32).at[0, flat].add(
+                1, mode="drop"
+            )
+
+        indeg_fn = jax.jit(
+            jax.shard_map(
+                _indeg, mesh=self.mesh, in_specs=P("shard"),
+                out_specs=P("shard"), check_vma=False,
+            )
+        )
+        indegs = tuple(indeg_fn(a) for a in st["adjs"])
+        adjs = st["adjs"]
+
+        step = jax.jit(
+            functools.partial(sharded_wave_step, self.mesh),
+            static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
+        )
+        max_iters = 2 * p.ef_cons + 16
+        for layer_nb in range(top_new, -1, -1):
+            homes = [
+                local_of[(shard_of == s) & (lv_new == layer_nb)].astype(np.int32)
+                for s in range(S)
+            ]
+            maxhome = max((h.size for h in homes), default=0)
+            if maxhome == 0:
+                continue
+            offs = [0] * S
+            for wsize in wave_schedule(maxhome):
+                wpad = _bucket(wsize)
+                ids_w = np.full((S, wpad), -1, np.int32)
+                for s in range(S):
+                    take = homes[s][offs[s] : offs[s] + wsize]
+                    ids_w[s, : take.size] = take
+                    offs[s] += wsize
+                adjs, indegs = step(
+                    adjs, indegs, st["codes"], st["scales"],
+                    dev(jnp.asarray(ids_w)), st["eps"],
+                    ef=p.ef_cons, m=p.m, max_iters=max_iters,
+                    layer_nb=layer_nb, extend_cands=p.extend_cands,
+                )
+        st["adjs"] = adjs
+        return new_gids
+
+    # -- serving layouts ---------------------------------------------------
+
+    def finalize(self, expand: int = 1, pivots: int = 2048) -> "ShardedHNSW":
+        """Build the packed + pivot-seeded serving state per shard — the
+        single-chip round-2 serving stack (``HNSW.finalize``) scaled out:
+        each shard gets packed layer-0 rows and its own pivot skeleton
+        (its highest-level nodes, evenly subsampled to ``pivots``). A
+        stale pack (after :meth:`add`) is detected and bypassed, never
+        served. ``pivots`` is per shard and must be > 0 (the seeded path
+        replaces upper-layer descent at query time)."""
+        if self._stacked is None:
+            raise ValueError("index is empty: call insert_bulk first")
+        if pivots <= 0:
+            self._packed = None
+            self._pack_n = -1
+            return self
+        st = self._stacked
+        S = self.n_shards
+
+        pack_fn = jax.jit(
+            jax.shard_map(
+                lambda a, c, sc: pack_layer(a[0], c[0], sc[0])[None],
+                mesh=self.mesh,
+                in_specs=(P("shard"), P("shard"), P("shard")),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )
+        packed_s = pack_fn(st["adjs"][0], st["codes"], st["scales"])
+
+        # per-shard pivot ids: smallest level whose member count reaches
+        # the budget (HNSW.finalize's rule), evenly subsampled to exactly
+        # `pivots`, padded with -1
+        pid = np.full((S, pivots), -1, np.int32)
+        for s in range(S):
+            k = int(self._counts[s])
+            lv = self._levels[s, :k]
+            ids = None
+            for level in range(int(lv.max()) if k else 0, 0, -1):
+                cand = np.flatnonzero(lv >= level)
+                if cand.size >= min(pivots, k) or level == 1:
+                    ids = cand
+                    break
+            if ids is None or ids.size == 0:
+                ids = np.arange(k)
+            if ids.size > pivots:
+                pick = np.unique(
+                    np.linspace(0, ids.size - 1, pivots).round().astype(np.int64)
+                )
+                ids = ids[pick]
+            pid[s, : ids.size] = ids
+        shard = NamedSharding(self.mesh, P("shard"))
+        pid_d = jax.device_put(jnp.asarray(pid), shard)
+
+        vec_fn = jax.jit(
+            jax.shard_map(
+                lambda c, sc, ids: jnp.where(
+                    (ids[0] >= 0)[:, None],
+                    dequantize(
+                        c[0][jnp.clip(ids[0], 0, c.shape[1] - 1)],
+                        sc[0][jnp.clip(ids[0], 0, c.shape[1] - 1)],
+                    ),
+                    0.0,
+                )[None],
+                mesh=self.mesh,
+                in_specs=(P("shard"), P("shard"), P("shard")),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )
+        pvecs = vec_fn(st["codes"], st["scales"], pid_d)
+        self._packed = (packed_s, pid_d, pvecs)
+        self._pack_n = len(self)
+        self.serve_expand = int(expand)
+        return self
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint the stacked sharded state (persistence parity with
+        the single-chip index; the reference persists its one family,
+        ``hnsw/src/template.rs:43-73``)."""
+        import json
+        import os
+
+        if self._stacked is None:
+            raise ValueError("index is empty: nothing to save")
+        os.makedirs(path, exist_ok=True)
+        st = self._stacked
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(
+                {
+                    "format": "hnsw_rs_tpu.sharded.v1",
+                    "params": self.params.to_dict(),
+                    "n_shards": self.n_shards,
+                    "n_layers": len(st["adjs"]),
+                    "level_calls": self._level_calls,
+                },
+                f,
+                indent=2,
+            )
+        arrays = {
+            "codes": np.asarray(st["codes"]),
+            "scales": np.asarray(st["scales"]),
+            "gids": np.asarray(st["gids"]),
+            "eps": np.asarray(st["eps"]),
+            "levels": self._levels,
+            "counts": self._counts,
+            "offsets": np.asarray(getattr(self, "_offsets", np.zeros(0))),
+        }
+        for i, a in enumerate(st["adjs"]):
+            arrays[f"adj_{i}"] = np.asarray(a)
+        np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh | None = None) -> "ShardedHNSW":
+        """Restore from :meth:`save` onto ``mesh`` (or a fresh
+        (1, n_shards) mesh). Call :meth:`finalize` afterwards for the
+        packed/seeded serving mode."""
+        import json
+        import os
+
+        with open(os.path.join(path, "params.json")) as f:
+            meta = json.load(f)
+        if meta.get("format") != "hnsw_rs_tpu.sharded.v1":
+            raise ValueError(f"unknown index format in {path}")
+        params = Params.from_dict(meta["params"])
+        S = int(meta["n_shards"])
+        index = cls(params.m, params.dim, S, mesh=mesh)
+        index.params = params
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            shard = NamedSharding(index.mesh, P("shard"))
+            dev = lambda x: jax.device_put(jnp.asarray(x), shard)
+            index._stacked = {
+                "codes": dev(z["codes"]),
+                "scales": dev(z["scales"]),
+                "gids": dev(z["gids"]),
+                "eps": dev(z["eps"]),
+                "adjs": tuple(
+                    dev(z[f"adj_{i}"]) for i in range(meta["n_layers"])
+                ),
+            }
+            index._levels = np.asarray(z["levels"])
+            index._counts = np.asarray(z["counts"])
+            if z["offsets"].size:
+                index._offsets = np.asarray(z["offsets"])
+        index._level_calls = int(meta.get("level_calls", 0))
+        return index
 
     # -- query -------------------------------------------------------------
 
@@ -302,13 +668,27 @@ class ShardedHNSW:
         # index arrays are passed as jit ARGUMENTS (not via a static self)
         # so a rebuild on the same object never serves a stale executable
         st = self._stacked
-        d, i = _sharded_query_jit(
-            self.mesh, st["adjs"], st["codes"], st["scales"], st["gids"],
-            st["eps"], q, ef=ef, k=n, max_iters=max_iters,
-        )
+        if self._packed is not None and self._pack_n == len(self):
+            packed_s, pid_d, pvecs = self._packed
+            d, i = _sharded_query_seeded_jit(
+                self.mesh, packed_s, pid_d, pvecs, st["gids"], q,
+                ef=ef, k=n, max_iters=max_iters,
+                expand_e=self.serve_expand,
+            )
+        else:
+            d, i = _sharded_query_jit(
+                self.mesh, st["adjs"], st["codes"], st["scales"], st["gids"],
+                st["eps"], q, ef=ef, k=n, max_iters=max_iters,
+            )
         return np.asarray(d), np.asarray(i)
 
 
 _sharded_query_jit = functools.partial(
     jax.jit, static_argnums=(0,), static_argnames=("ef", "k", "max_iters")
 )(sharded_query)
+
+_sharded_query_seeded_jit = functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("ef", "k", "max_iters", "expand_e"),
+)(sharded_query_seeded)

@@ -370,6 +370,46 @@ def pack_layer(
     return jnp.concatenate([pk_codes, sc_bytes, id_bytes], axis=1)
 
 
+def comb_table(codes: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """Combined per-point byte table ``u8[N, d+8]`` = ``codes ‖
+    f32-bytes(scales)`` — one gather instead of two when (code, scale)
+    pairs are fetched together (the build-time incremental repack)."""
+    n = codes.shape[0]
+    sc_bytes = jax.lax.bitcast_convert_type(scales, jnp.uint8).reshape(n, 8)
+    return jnp.concatenate([codes, sc_bytes], axis=1)
+
+
+def empty_packed(n: int, cap: int, d: int) -> jnp.ndarray:
+    """Packed table for an all-empty graph: id region = SENTINEL bytes
+    (0xFF), code/scale regions zero (masked by ids at decode — scale 0.0
+    dequantizes to 0.0, never NaN)."""
+    return jnp.concatenate(
+        [
+            jnp.zeros((n, cap * (d + 8)), jnp.uint8),
+            jnp.full((n, cap * 4), 255, jnp.uint8),  # -1 little-endian
+        ],
+        axis=1,
+    )
+
+
+def unpack_rows(
+    row: jnp.ndarray, cap: int, d: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode packed rows (``pack_layer`` layout, any leading shape) into
+    (neighbor ids [..., cap], dequantized vectors f32[..., cap, d]) —
+    pure in-register bitcasts, no gathers."""
+    lead = row.shape[:-1]
+    crow = row[..., : cap * d].reshape(*lead, cap, d)
+    srow = jax.lax.bitcast_convert_type(
+        row[..., cap * d : cap * (d + 8)].reshape(*lead, cap, 2, 4),
+        jnp.float32,
+    )  # [..., cap, 2]
+    nbrs = jax.lax.bitcast_convert_type(
+        row[..., cap * (d + 8) :].reshape(*lead, cap, 4), jnp.int32
+    )  # [..., cap]
+    return nbrs, dequantize(crow, srow)
+
+
 def search_layer_packed(
     packed: jnp.ndarray,
     q: jnp.ndarray,
@@ -379,29 +419,23 @@ def search_layer_packed(
     max_iters: int,
     ring_size: int = 0,
     expand_e: int = 1,
+    forbid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """:func:`search_layer` over the packed-neighbor layout — identical
     semantics and distances (at ``expand_e=1``), ONE gather row per
     expansion instead of ~3*cap; ``expand_e>1`` pops E entries per
-    iteration (see :func:`_beam_loop`)."""
+    iteration (see :func:`_beam_loop`). ``forbid`` masks one id per query
+    (the construction-path self-exclusion)."""
     n, w = packed.shape
     d = q.shape[1]
     cap = w // (d + 12)
 
     def fetch(cand_safe):
         row = packed[cand_safe]  # [R, cap*(d+12)] u8 — the ONLY gather
-        crow = row[:, : cap * d].reshape(-1, cap, d)
-        srow = jax.lax.bitcast_convert_type(
-            row[:, cap * d : cap * (d + 8)].reshape(-1, cap, 2, 4),
-            jnp.float32,
-        )  # [R, cap, 2]
-        nbrs = jax.lax.bitcast_convert_type(
-            row[:, cap * (d + 8) :].reshape(-1, cap, 4), jnp.int32
-        )  # [R, cap]
-        return nbrs, dequantize(crow, srow)
+        return unpack_rows(row, cap, d)
 
     return _beam_loop(
-        fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, None,
+        fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, forbid,
         ring_size, expand_e,
     )
 
@@ -439,21 +473,61 @@ def ann_search_seeded(
     same id — downstream exact-distance comparisons must not assume
     bit-parity with :func:`ann_search_packed`.
     """
+    # approx_max_k inside _pivot_seeds: the TPU-native bucketed top-k
+    # (ORDER of magnitude cheaper than the exact sort at [B, P]); seed
+    # selection tolerates approximation — the beam refines whatever it is
+    # handed
+    e_d2, e_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
+    beam_d2, beam_ids = search_layer_packed(
+        packed0, q, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+    )
+    return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
+
+
+def _pivot_seeds(pivot_ids, pivot_vecs, q, ef):
+    """Top-ef pivot seeds per query: one MXU matmul + approx top-k (see
+    :func:`ann_search_seeded` for rationale and numeric-form caveat)."""
     d2p = (
         jnp.sum(q * q, 1, keepdims=True)
         - 2.0 * jnp.dot(q, pivot_vecs.T, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
         + jnp.sum(pivot_vecs * pivot_vecs, 1)[None, :]
     )
+    d2p = jnp.where(pivot_ids[None, :] >= 0, d2p, INF)
     s = min(ef, pivot_ids.shape[0])
-    # approx_max_k: the TPU-native bucketed top-k (ORDER of magnitude
-    # cheaper than the exact sort at [B, P]); seed selection tolerates
-    # approximation — the beam refines whatever it is handed
     nv, pos = jax.lax.approx_max_k(-d2p, s, recall_target=0.95)
-    e_ids = pivot_ids[pos]  # [B, s]
-    e_d2 = jnp.maximum(-nv, 0.0)
-    beam_d2, beam_ids = search_layer_packed(
-        packed0, q, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+    e_ids = pivot_ids[pos]
+    e_d2 = jnp.where(e_ids >= 0, jnp.maximum(-nv, 0.0), INF)
+    e_ids = jnp.where(e_ids >= 0, e_ids, PAD_ID)
+    return e_d2, e_ids
+
+
+def ann_search_seeded_plain(
+    adj0: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    pivot_ids: jnp.ndarray,
+    pivot_vecs: jnp.ndarray,
+    q: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pivot-seeded serving WITHOUT the packed layout — the memory-honest
+    mode: index memory is just codes (+ optional f32 table) + adjacency +
+    the pivot table (~within 2× of the raw index), no ``cap*(d+12)``
+    bytes/point packed rows. Pivot seeding still removes the upper-layer
+    descent (the iteration-count lever), so the only cost vs the packed
+    path is ~(1+2·cap) narrow gather rows per expansion instead of one
+    wide one — at large batch the narrow-row gather rate saturates and
+    this lands within a small factor of packed QPS (measured in
+    benchmarks/bench_serving_memory.py). Same results as
+    :func:`ann_search_seeded` given the same seeds."""
+    e_d2, e_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
+    beam_d2, beam_ids = search_layer(
+        adj0, codes, scales, q, e_d2, e_ids, ef, max_iters,
+        expand_e=expand_e,
     )
     return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
 

@@ -215,3 +215,28 @@ def test_build_expand_quality_holds():
         )
     assert rec[1] >= rec[0] - 0.015, rec
     assert rec[1] > 0.95, rec
+
+
+def test_packed_build_is_bit_identical_to_plain():
+    # the packed-row construction path (build.PACKED_BUILD_LIMIT gate)
+    # must produce EXACTLY the graph of the plain path: same searches,
+    # same heuristic pools, same applies — only the gather layout differs.
+    # Also the incrementally-maintained table must equal a fresh
+    # pack_layer of the final adjacency (the serving-pack-for-free claim).
+    import jax.numpy as jnp
+
+    from hnsw_rs_tpu.search import pack_layer
+
+    rng = np.random.default_rng(123)
+    v = rng.standard_normal((600, 16)).astype(np.float32)
+    a = HNSW(8, ef_cons=32, dim=16)
+    a.insert_bulk(v)  # auto: packed (table is tiny)
+    assert a._packed0 is not None and a._packed_n == len(a)
+    b = HNSW(8, ef_cons=32, dim=16)
+    b.insert_bulk(v, packed_build=False)
+    assert b._packed0 is None
+    assert len(a.graph) == len(b.graph)
+    for la, lb in zip(a.graph.adjs, b.graph.adjs):
+        assert bool(jnp.array_equal(la, lb))
+    fresh = pack_layer(b.graph.get_layer(0), b.points.codes, b.points.scales)
+    assert bool(jnp.array_equal(a._packed0, fresh))

@@ -92,3 +92,75 @@ def test_sharded_rebuild_serves_new_index():
     d2, i2 = idx.ann_batch(second[:8], 1, 32)
     np.testing.assert_array_equal(i2[:, 0], np.arange(8))
     assert float(d2[:, 0].max()) < 1e-3  # exact self-match on NEW data
+
+
+def _recall(ids, truth, k=10):
+    return float(np.mean([len(set(a) & set(b)) / k for a, b in zip(ids, truth)]))
+
+
+def test_sharded_seeded_serving_and_incremental_add(tmp_path):
+    # round-2 serving stack (packed rows + pivot seeding) lifted into the
+    # scale-out path, plus rebuild-free incremental add and save/load
+    vecs = gen_rand_vecs(N, DIM, seed=7)
+    queries = gen_rand_vecs(16, DIM, seed=8)
+    mesh = make_mesh(n_data=2, n_shard=4)
+    sharded = ShardedHNSW(M, DIM, n_shards=4, mesh=mesh)
+    sharded.insert_bulk(vecs)
+    flat = FlatIndex(DIM)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+    _, ids_plain = sharded.ann_batch(queries, 10, 60)
+    r_plain = _recall(ids_plain, truth)
+
+    sharded.finalize(pivots=64)
+    assert sharded._packed is not None
+    _, ids_seeded = sharded.ann_batch(queries, 10, 60)
+    r_seeded = _recall(ids_seeded, truth)
+    # seeded-sharded >= plain-sharded recall at equal ef (the pivot seeds
+    # start the beam from ef good candidates instead of one entry point)
+    assert r_seeded >= r_plain - 1e-9, (r_seeded, r_plain)
+    assert r_seeded > 0.9
+
+    # rebuild-free incremental add: stable new gids, findable immediately
+    more = gen_rand_vecs(48, DIM, seed=9)
+    gids = sharded.add(more)
+    assert len(sharded) == N + 48
+    assert gids[0] == N and gids[-1] == N + 47
+    _, self_ids = sharded.ann_batch(more[:16], 1, 40)
+    assert np.mean(self_ids[:, 0] == gids[:16]) >= 0.9
+    # ground truth over the EXTENDED collection (new points can displace
+    # old true neighbors — comparing vs the stale truth would undercount)
+    flat2 = FlatIndex(DIM)
+    flat2.add(np.concatenate([vecs, more]))
+    _, truth2 = flat2.search(queries, 10, exact=True)
+    # the stale pack is bypassed, never served (plain path answers)
+    _, ids_after = sharded.ann_batch(queries, 10, 60)
+    assert _recall(ids_after, truth2) >= r_plain - 0.05
+    # re-finalize restores the seeded path over the grown index
+    sharded.finalize(pivots=64)
+    _, ids_re = sharded.ann_batch(queries, 10, 60)
+    assert _recall(ids_re, truth2) >= r_plain - 0.05
+
+    # save/load round-trip answers identically
+    sharded.save(str(tmp_path / "sh"))
+    back = ShardedHNSW.load(str(tmp_path / "sh"), mesh=mesh)
+    assert len(back) == N + 48
+    _, ids_back = back.ann_batch(queries, 10, 60)
+    np.testing.assert_array_equal(ids_back, ids_after)
+    back.finalize(pivots=64)
+    _, ids_back_seeded = back.ann_batch(queries, 10, 60)
+    np.testing.assert_array_equal(ids_back_seeded, ids_re)
+
+
+def test_sharded_add_balances_shards():
+    vecs = gen_rand_vecs(N, DIM, seed=10)
+    mesh = make_mesh(n_data=1, n_shard=8)
+    sharded = ShardedHNSW(M, DIM, n_shards=8, mesh=mesh)
+    sharded.insert_bulk(vecs)
+    before = sharded._counts.copy()
+    sharded.add(gen_rand_vecs(80, DIM, seed=11))
+    after = sharded._counts
+    assert int(after.sum()) == N + 80
+    # round-robin from least-loaded: spread stays within 1 of each other
+    # relative to the pre-add spread
+    assert int(after.max() - after.min()) <= int(before.max() - before.min()) + 1
