@@ -110,7 +110,7 @@ def main(argv=None) -> int:
 
 
 def eval_other_model(args, stored, queries) -> int:
-    """Evaluate the Flat or IVF-Flat family on the same data."""
+    """Evaluate the Flat, IVF-Flat or IVF-PQ family on the same data."""
     from .models.flat import FlatIndex
     from .models.ivf import IVFFlatIndex
 
@@ -127,6 +127,21 @@ def eval_other_model(args, stored, queries) -> int:
         log.info("flat add: %d vectors in %.2fs", len(index), time.time() - t0)
         sweeps = [("exact", {})]
         search = lambda q, **kw: index.search(q, k)
+    elif args.model == "pq":
+        from .models.ivfpq import IVFPQIndex
+
+        d = stored.shape[1]
+        m_pq = next(m for m in (16, 10, 8, 5, 4, 2, 1) if d % m == 0)
+        index = IVFPQIndex(
+            d, n_lists=args.n_lists, m_pq=m_pq, metric=args.metric,
+            rerank=4 * k,
+        )
+        t0 = time.time()
+        index.train_add(stored)
+        log.info("ivf-pq train+add: %d vectors, %d lists, m_pq=%d in %.2fs",
+                 len(index), index.n_lists, m_pq, time.time() - t0)
+        sweeps = [(f"probe={p}", {"n_probe": p}) for p in args.probe]
+        search = lambda q, **kw: index.search(q, k, **kw)
     else:
         index = IVFFlatIndex(
             stored.shape[1], n_lists=args.n_lists, metric=args.metric

@@ -5,7 +5,7 @@ the out-of-core paged HNSW reader."""
 from .flat import FlatIndex
 from .ivf import IVFFlatIndex
 
-__all__ = ["FlatIndex", "HNSW", "IVFFlatIndex", "PagedHNSW", "save_paged"]
+__all__ = ["FlatIndex", "HNSW", "IVFFlatIndex", "IVFPQIndex", "PagedHNSW", "save_paged"]
 
 
 def __getattr__(name):
@@ -13,6 +13,10 @@ def __getattr__(name):
         from .hnsw import HNSW
 
         return HNSW
+    if name == "IVFPQIndex":
+        from .ivfpq import IVFPQIndex
+
+        return IVFPQIndex
     if name in ("PagedHNSW", "save_paged"):
         from . import paged
 

@@ -1,0 +1,400 @@
+"""IVF-PQ: inverted file + product quantization — the MEMORY axis of the
+scaling story (beyond the reference's u8-per-dimension ceiling,
+``vectors/src/quant.rs``: 1 byte/dim; PQ stores ``m_pq`` bytes/POINT).
+
+TPU-native layout and math:
+
+- coarse quantizer: k-means centroids trained on device (shared
+  ``models.ivf._kmeans`` — assignment is one MXU matmul + argmin);
+- product quantizer: the RESIDUAL (x - coarse centroid) is split into
+  ``m_pq`` subspaces; each subspace gets a 256-entry codebook trained on
+  device (batched Lloyd's per subspace, all subspaces vmapped at once).
+  Storage per point: ``m_pq`` bytes of codes (+4 id bytes) — e.g. 16 B
+  vs 96 B for u8-per-dim at d=96;
+- search (ADC): per query × probed list, the distance decomposes as
+  ``d2(q, x) ≈ Σ_m ||q_m - r_m - cb_m[c_m]||²`` which needs only the
+  per-subspace lookup table ``LUT[b, m, v] = ||(q - centroid)_m -
+  cb_m[v]||²`` — built with ONE batched MXU matmul against the codebooks
+  — and a [B, L, m_pq] table take along the code axis. Optionally the
+  top-``rerank`` ADC candidates are re-scored EXACTLY against the u8
+  codes kept host-side... no: rerank uses an optional exact code table
+  on device (``keep_codes=True``) — recall then approaches IVF-Flat at a
+  fraction of the hot memory.
+
+No reference analogue; quantization error vs exact L2 is measured by
+tests (ADC is an approximation — the recall/QPS/memory trade is the
+point; see benchmarks/bench_ivfpq.py for the committed curve).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import DimensionMismatch
+from ..ops.distance import normalize
+from ..ops.quant import dequantize, quantize
+from ..ops.topk import INF, PAD_ID, sort_dist_id
+from .ivf import _assign_jit, _kmeans
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _pq_train(res: jnp.ndarray, init_idx: jnp.ndarray, iters: int):
+    """Train all m_pq sub-codebooks at once: res [N, m_pq, ds] residuals,
+    init_idx i32[256] initial rows. Returns codebooks f32[m_pq, 256, ds].
+    vmapped batched Lloyd's — every step is an MXU matmul batch."""
+
+    def one(sub):  # [N, ds] -> [256, ds]
+        cent = sub[init_idx]
+
+        def step(c, _):
+            d2 = (
+                jnp.sum(sub * sub, 1, keepdims=True)
+                - 2.0 * jnp.dot(sub, c.T, preferred_element_type=jnp.float32)
+                + jnp.sum(c * c, 1)[None, :]
+            )
+            a = jnp.argmin(d2, 1)
+            sums = jnp.zeros_like(c).at[a].add(sub)
+            counts = jnp.zeros((c.shape[0],), jnp.float32).at[a].add(1.0)
+            return (
+                jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts, 1.0)[:, None], c),
+                None,
+            )
+
+        cent, _ = jax.lax.scan(step, cent, None, length=iters)
+        return cent
+
+    return jax.vmap(one, in_axes=1, out_axes=0)(res)
+
+
+@jax.jit
+def _pq_encode(res: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """res [N, m_pq, ds] -> codes u8[N, m_pq] (nearest codebook entry)."""
+
+    def one(sub, cb):  # [N, ds], [256, ds]
+        d2 = (
+            jnp.sum(sub * sub, 1, keepdims=True)
+            - 2.0 * jnp.dot(sub, cb.T, preferred_element_type=jnp.float32)
+            + jnp.sum(cb * cb, 1)[None, :]
+        )
+        return jnp.argmin(d2, 1).astype(jnp.uint8)
+
+    return jax.vmap(one, in_axes=(1, 0), out_axes=1)(res, codebooks)
+
+
+@functools.partial(jax.jit, static_argnames=("n_probe", "k"))
+def _ivfpq_search(
+    q, centroids, codebooks, blocks, block_ids, n_probe: int, k: int
+):
+    """ADC search. q f32[B, d]; codebooks f32[m_pq, 256, ds]; blocks
+    u8[C, Lmax, m_pq]; block_ids i32[C, Lmax].
+
+    Scans one probed list per step with a running sorted top-k merge —
+    the [B, m_pq, Lmax] LUT-take temp stays bounded regardless of
+    n_probe (an unscanned [B, p, m, Lmax] take would reach GBs)."""
+    from ..ops.topk import topk_dist_id
+
+    b, d = q.shape
+    m_pq, nv, ds = codebooks.shape
+    cd2 = (
+        jnp.sum(q * q, 1, keepdims=True)
+        - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(centroids * centroids, 1)[None, :]
+    )
+    _, probe = jax.lax.top_k(-cd2, n_probe)  # [B, p]
+    cbn = jnp.sum(codebooks * codebooks, -1)  # [m_pq, 256]
+
+    def step(carry, pi):
+        bd, bi = carry
+        pl = probe[:, pi]  # [B] list index for this probe rank
+        # LUT[b, m, v] for this probe: one batched MXU matmul
+        resid = q - centroids[pl]  # [B, d]
+        rs = resid.reshape(b, m_pq, ds)
+        cross = jnp.einsum(
+            "bms,mvs->bmv", rs, codebooks,
+            preferred_element_type=jnp.float32,
+        )
+        lut = jnp.sum(rs * rs, -1)[..., None] - 2.0 * cross + cbn[None]
+        cand = blocks[pl]  # [B, Lmax, m_pq] u8
+        cand_ids = block_ids[pl]  # [B, Lmax]
+        idx = cand.astype(jnp.int32).transpose(0, 2, 1)  # [B, m, Lmax]
+        got = jnp.take_along_axis(lut, idx, axis=2)  # [B, m, Lmax]
+        d2 = jnp.maximum(jnp.sum(got, axis=1), 0.0)  # [B, Lmax]
+        d2 = jnp.where(cand_ids >= 0, d2, INF)
+        ids = jnp.where(cand_ids >= 0, cand_ids, PAD_ID)
+        md = jnp.concatenate([bd, d2], axis=1)
+        mi = jnp.concatenate([bi, ids], axis=1)
+        return topk_dist_id(md, mi, k), None
+
+    bd0 = jnp.full((b, k), INF, jnp.float32)
+    bi0 = jnp.full((b, k), PAD_ID, jnp.int32)
+    (bd, bi), _ = jax.lax.scan(step, (bd0, bi0), jnp.arange(n_probe))
+    return jnp.sqrt(bd), bi
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rerank(q, codes, scales, cand_d, cand_ids, k: int):
+    """Exact re-score of ADC candidates against the u8 code table."""
+    safe = jnp.clip(jnp.where(cand_ids == PAD_ID, 0, cand_ids), 0,
+                    codes.shape[0] - 1)
+    vecs = dequantize(codes[safe], scales[safe])  # [B, R, d]
+    d2 = jnp.sum((q[:, None, :] - vecs) ** 2, axis=-1)
+    d2 = jnp.where(cand_ids == PAD_ID, INF, d2)
+    sd, si = sort_dist_id(d2, cand_ids)
+    return jnp.sqrt(sd[:, :k]), si[:, :k]
+
+
+class IVFPQIndex:
+    """Inverted file with product-quantized residual storage."""
+
+    def __init__(
+        self,
+        dim: int,
+        n_lists: int = 0,
+        m_pq: int = 16,
+        n_probe: int = 8,
+        kmeans_iters: int = 10,
+        pq_iters: int = 12,
+        rerank: int = 0,
+        keep_codes: bool | None = None,
+        seed: int = 0,
+        metric: str = "l2",
+    ):
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}")
+        if dim % m_pq != 0:
+            raise ValueError(f"m_pq {m_pq} must divide dim {dim}")
+        self.metric = metric
+        self.dim = int(dim)
+        self.m_pq = int(m_pq)
+        self.n_lists = int(n_lists)
+        self.n_probe = int(n_probe)
+        self.kmeans_iters = int(kmeans_iters)
+        self.pq_iters = int(pq_iters)
+        self.rerank = int(rerank)
+        # keep the exact u8 codes on device for reranking (defaults to
+        # True when rerank > 0)
+        self.keep_codes = bool(rerank) if keep_codes is None else keep_codes
+        self.seed = seed
+        self.centroids = None  # f32[C, d]
+        self.codebooks = None  # f32[m_pq, 256, ds]
+        self.blocks = None  # u8[C, Lmax, m_pq]
+        self.block_ids = None  # i32[C, Lmax]
+        self.codes = None  # u8[N, d] exact codes (host/persist; device if keep_codes)
+        self.scales = None  # f32[N, 2]
+        self._assign = None
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    # -- construction --------------------------------------------------
+
+    def train_add(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = self._prep(vectors)
+        n = vectors.shape[0]
+        if self.n_lists <= 0:
+            self.n_lists = max(1, int(np.sqrt(n)))
+        c = min(self.n_lists, n)
+        self.n_lists = c
+        self.codes, self.scales = quantize(jnp.asarray(vectors))
+        self._n = n
+        x = dequantize(self.codes, self.scales)
+        rng = np.random.default_rng(self.seed)
+        init = jnp.asarray(rng.choice(n, size=c, replace=False).astype(np.int32))
+        cent, assign = _kmeans(x, init, c, self.kmeans_iters)
+        self.centroids = cent
+        self._assign = np.asarray(assign)
+        res = (x - cent[assign]).reshape(n, self.m_pq, self.dim // self.m_pq)
+        pq_init = jnp.asarray(
+            rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
+        )
+        if n < 256:  # tiny collections: repeat rows to fill the codebook
+            pq_init = jnp.concatenate(
+                [pq_init, jnp.zeros((256 - n,), jnp.int32)]
+            )
+        self.codebooks = _pq_train(res, pq_init, self.pq_iters)
+        pq_codes = np.asarray(_pq_encode(res, self.codebooks))
+        self._pack(pq_codes)
+        if not self.keep_codes:
+            self.codes = np.asarray(self.codes)  # spill to host memory
+            self.scales = np.asarray(self.scales)
+        return np.arange(n, dtype=np.int32)
+
+    def add(self, vectors: np.ndarray) -> np.ndarray:
+        """Incremental add: assign to coarse list, PQ-encode the residual,
+        scatter into the list tail (codebooks are NOT retrained)."""
+        if self.centroids is None:
+            return self.train_add(vectors)
+        vectors = self._prep(vectors)
+        n_new = vectors.shape[0]
+        codes, scales = quantize(jnp.asarray(vectors))
+        x = dequantize(codes, scales)
+        assign = np.asarray(_assign_jit(x, self.centroids))
+        res = (x - self.centroids[jnp.asarray(assign)]).reshape(
+            n_new, self.m_pq, self.dim // self.m_pq
+        )
+        pq_codes = np.asarray(_pq_encode(res, self.codebooks))
+        start = self._n
+        self.codes = (
+            jnp.concatenate([jnp.asarray(self.codes), codes])
+            if self.keep_codes
+            else np.concatenate([np.asarray(self.codes), np.asarray(codes)])
+        )
+        self.scales = (
+            jnp.concatenate([jnp.asarray(self.scales), scales])
+            if self.keep_codes
+            else np.concatenate([np.asarray(self.scales), np.asarray(scales)])
+        )
+        self._assign = np.concatenate([self._assign, assign])
+        self._n += n_new
+
+        counts = np.bincount(self._assign[:start], minlength=self.n_lists)
+        order = np.argsort(assign, kind="stable")
+        srt = assign[order]
+        idx = np.arange(n_new, dtype=np.int64)
+        first = np.r_[True, srt[1:] != srt[:-1]] if n_new else np.zeros(0, bool)
+        grp = np.maximum.accumulate(np.where(first, idx, 0))
+        within = counts[srt] + (idx - grp)
+        lmax = int(self.blocks.shape[1])
+        if within.size and int(within.max()) >= lmax:
+            pad = max(int(within.max()) + 1, 2 * lmax) - lmax
+            self.blocks = jnp.pad(self.blocks, ((0, 0), (0, pad), (0, 0)))
+            self.block_ids = jnp.pad(
+                self.block_ids, ((0, 0), (0, pad)), constant_values=-1
+            )
+        rows = jnp.asarray(srt.astype(np.int32))
+        slots = jnp.asarray(within.astype(np.int32))
+        self.blocks = self.blocks.at[rows, slots].set(
+            jnp.asarray(pq_codes[order])
+        )
+        self.block_ids = self.block_ids.at[rows, slots].set(
+            jnp.asarray((start + order).astype(np.int32))
+        )
+        return np.arange(start, start + n_new, dtype=np.int32)
+
+    def _prep(self, vectors: np.ndarray) -> np.ndarray:
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if vectors.shape[-1] != self.dim:
+            raise DimensionMismatch(
+                f"index dim {self.dim}, got {vectors.shape[-1]}"
+            )
+        if self.metric == "cosine":
+            vectors = np.asarray(normalize(vectors))
+        return vectors
+
+    def _pack(self, pq_codes: np.ndarray) -> None:
+        c, n = self.n_lists, self._n
+        order = np.argsort(self._assign, kind="stable")
+        srt = self._assign[order]
+        counts = np.bincount(srt, minlength=c)
+        starts = np.zeros(c + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        within = np.arange(n, dtype=np.int64) - starts[srt]
+        lmax = max(1, int(counts.max()))
+        lmax += min(max(lmax // 4, 8), 1024)
+        blocks = np.zeros((c, lmax, self.m_pq), np.uint8)
+        bids = np.full((c, lmax), -1, np.int32)
+        blocks[srt, within] = pq_codes[order]
+        bids[srt, within] = order.astype(np.int32)
+        self.blocks = jnp.asarray(blocks)
+        self.block_ids = jnp.asarray(bids)
+
+    # -- queries --------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        n_probe: int | None = None,
+        rerank: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched approximate top-k via ADC; optional exact re-rank of
+        the top-``rerank`` ADC candidates (needs ``keep_codes``)."""
+        if self.centroids is None:
+            raise ValueError("index is untrained: call train_add/add first")
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.metric == "cosine":
+            queries = np.asarray(normalize(queries))
+        q = dequantize(*quantize(jnp.asarray(queries)))
+        p = min(n_probe or self.n_probe, self.n_lists)
+        r = self.rerank if rerank is None else int(rerank)
+        kk = max(k, r)
+        d, i = _ivfpq_search(
+            q, self.centroids, self.codebooks, self.blocks, self.block_ids,
+            p, kk,
+        )
+        if r > 0:
+            if not self.keep_codes:
+                raise ValueError("rerank requires keep_codes=True")
+            d, i = _rerank(q, jnp.asarray(self.codes),
+                           jnp.asarray(self.scales), d, i, k)
+        return np.asarray(d)[:, :k], np.asarray(i)[:, :k]
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(
+                {
+                    "format": "hnsw_rs_tpu.ivfpq.v1",
+                    "dim": self.dim, "m_pq": self.m_pq,
+                    "n_lists": self.n_lists, "n_probe": self.n_probe,
+                    "kmeans_iters": self.kmeans_iters,
+                    "pq_iters": self.pq_iters, "rerank": self.rerank,
+                    "keep_codes": self.keep_codes, "seed": self.seed,
+                    "metric": self.metric, "n": self._n,
+                },
+                f, indent=2,
+            )
+        n = self._n
+        np.savez_compressed(
+            os.path.join(path, "arrays.npz"),
+            codes=np.asarray(self.codes)[:n],
+            scales=np.asarray(self.scales)[:n],
+            assign=np.asarray(self._assign)[:n],
+            centroids=np.asarray(self.centroids),
+            codebooks=np.asarray(self.codebooks),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "params.json")) as f:
+            meta = json.load(f)
+        if meta.get("format") != "hnsw_rs_tpu.ivfpq.v1":
+            raise ValueError(f"unknown index format in {path}")
+        index = cls(
+            meta["dim"], n_lists=meta["n_lists"], m_pq=meta["m_pq"],
+            n_probe=meta["n_probe"], kmeans_iters=meta["kmeans_iters"],
+            pq_iters=meta["pq_iters"], rerank=meta["rerank"],
+            keep_codes=meta["keep_codes"], seed=meta["seed"],
+            metric=meta["metric"],
+        )
+        with np.load(os.path.join(path, "arrays.npz")) as z:
+            codes = jnp.asarray(z["codes"])
+            scales = jnp.asarray(z["scales"])
+            index.codes = codes if index.keep_codes else np.asarray(codes)
+            index.scales = scales if index.keep_codes else np.asarray(scales)
+            index._assign = np.asarray(z["assign"])
+            index.centroids = jnp.asarray(z["centroids"])
+            index.codebooks = jnp.asarray(z["codebooks"])
+        index._n = int(meta["n"])
+        if index._n:
+            x = dequantize(jnp.asarray(index.codes), jnp.asarray(index.scales))
+            res = (
+                x - index.centroids[jnp.asarray(index._assign)]
+            ).reshape(index._n, index.m_pq, index.dim // index.m_pq)
+            index._pack(np.asarray(_pq_encode(res, index.codebooks)))
+        return index

@@ -13,7 +13,7 @@ def eval_parser() -> argparse.ArgumentParser:
         description="Build an HNSW index over GloVe embeddings and evaluate "
         "recall/QPS against on-device brute force.",
     )
-    p.add_argument("--model", choices=("hnsw", "flat", "ivf"), default="hnsw",
+    p.add_argument("--model", choices=("hnsw", "flat", "ivf", "pq"), default="hnsw",
                    help="index family to evaluate")
     p.add_argument("--n-lists", type=int, default=0,
                    help="IVF lists (0 = sqrt(N))")

@@ -1,0 +1,84 @@
+"""IVF-PQ family: ADC recall vs exact truth, rerank lift, memory claim,
+incremental add, persistence round-trip."""
+
+import numpy as np
+
+from hnsw_rs_tpu import FlatIndex
+from hnsw_rs_tpu.models.ivfpq import IVFPQIndex
+from hnsw_rs_tpu.utils import gen_rand_vecs
+
+
+def recall(ids, truth, k):
+    return np.mean([len(set(a[:k]) & set(t[:k])) / k for a, t in zip(ids, truth)])
+
+
+def _clustered(n, d, seed):
+    rng = np.random.default_rng(seed)
+    centers = rng.random((32, d), np.float32)
+    a = rng.integers(0, 32, n)
+    return (centers[a] + rng.normal(0, 0.05, (n, d))).astype(np.float32)
+
+
+def test_ivfpq_recall_and_rerank_lift():
+    n, d = 4000, 32
+    vecs = _clustered(n, d, 0)
+    queries = _clustered(64, d, 1)
+    flat = FlatIndex(d)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+
+    pq = IVFPQIndex(d, n_lists=32, m_pq=8, rerank=40)
+    pq.train_add(vecs)
+    assert len(pq) == n
+    # PQ code storage is m_pq bytes/point vs d for u8-per-dim
+    assert pq.blocks.shape[-1] == 8  # 4x smaller than d=32
+    _, adc_ids = pq.search(queries, 10, n_probe=8, rerank=0)
+    r_adc = recall(adc_ids, truth, 10)
+    _, rr_ids = pq.search(queries, 10, n_probe=8)
+    r_rr = recall(rr_ids, truth, 10)
+    assert r_adc > 0.6, r_adc  # ADC alone is approximate
+    assert r_rr >= r_adc - 1e-9  # exact rerank can only help
+    assert r_rr > 0.9, r_rr
+
+
+def test_ivfpq_probe_monotonicity():
+    n, d = 2000, 16
+    vecs = _clustered(n, d, 2)
+    queries = _clustered(32, d, 3)
+    flat = FlatIndex(d)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+    pq = IVFPQIndex(d, n_lists=16, m_pq=4, rerank=40)
+    pq.train_add(vecs)
+    r = {p: recall(pq.search(queries, 10, n_probe=p)[1], truth, 10)
+         for p in (1, 4, 16)}
+    assert r[16] >= r[4] >= r[1] - 1e-9
+    assert r[16] > 0.9
+
+
+def test_ivfpq_incremental_add_and_roundtrip(tmp_path):
+    d = 16
+    first, second = _clustered(900, d, 4), _clustered(200, d, 5)
+    pq = IVFPQIndex(d, n_lists=16, m_pq=4, rerank=20)
+    pq.train_add(first)
+    ids = pq.add(second)
+    assert ids[0] == 900 and len(pq) == 1100
+    # added points are individually findable (rerank makes self-match exact)
+    _, self_ids = pq.search(second[:32], 1, n_probe=16)
+    assert np.mean(self_ids[:, 0] == 900 + np.arange(32)) > 0.9
+
+    queries = _clustered(16, d, 6)
+    da, ia = pq.search(queries, 5)
+    pq.save(str(tmp_path / "pq"))
+    back = IVFPQIndex.load(str(tmp_path / "pq"))
+    assert len(back) == 1100
+    db, ib = back.search(queries, 5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+
+
+def test_ivfpq_rejects_bad_mpq():
+    import pytest
+
+    with pytest.raises(ValueError):
+        IVFPQIndex(30, m_pq=7)

@@ -85,3 +85,37 @@ def test_paged_hnsw_recall_parity(tmp_path):
     # single-vector API + self-match through the paged path
     got = paged.ann_by_vector(vecs[7], 1, 40)
     assert int(got[0]) == 7
+
+
+def test_hybrid_paged_matches_in_memory_seeded(tmp_path):
+    # device hot-tier + paged cold-tier serving returns EXACTLY what the
+    # in-memory packed + pivot-seeded index returns (same pivot rule,
+    # same beam semantics) — the hot tier only changes where rows come
+    # from. Run twice: tiny hot budget (forces cold staging) and full.
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.paged import HybridPagedHNSW, save_paged
+
+    n, d = 900, 16
+    vecs = gen_rand_vecs(n, d, seed=31)
+    queries = gen_rand_vecs(24, d, seed=32)
+    index = HNSW(8, ef_cons=32, dim=d)
+    index.insert_bulk(vecs)
+    index.finalize(pivots=4096)  # > level-1 count: both pick all level>=1
+    d_mem, i_mem = index.ann_batch(queries, 10, 48)
+
+    path = str(tmp_path / "hyb")
+    save_paged(index, path)
+    wrow = index.graph.get_layer(0).shape[1] * (d + 12)
+
+    hot_all = HybridPagedHNSW(path, hot_bytes=n * wrow, pivots=4096)
+    d_a, i_a = hot_all.ann_batch(queries, 10, 48)
+    assert hot_all.misses == 0 and hot_all.hits > 0
+    np.testing.assert_array_equal(i_a, i_mem)
+    np.testing.assert_allclose(d_a, d_mem, rtol=1e-5, atol=1e-5)
+
+    hot_tiny = HybridPagedHNSW(path, hot_bytes=(n // 10) * wrow, pivots=4096)
+    assert hot_tiny.hot_rows <= n // 10
+    d_t, i_t = hot_tiny.ann_batch(queries, 10, 48)
+    assert hot_tiny.misses > 0  # cold rows actually paged
+    np.testing.assert_array_equal(i_t, i_mem)
+    np.testing.assert_allclose(d_t, d_mem, rtol=1e-5, atol=1e-5)
