@@ -80,6 +80,8 @@ class PagedHNSW:
     def __init__(self, path: str, cache_blocks: int = 1024):
         with open(os.path.join(path, _META_FILE)) as f:
             meta = json.load(f)
+        self._adj_path = os.path.join(path, _ADJ_FILE)
+        self._blocks_path = os.path.join(path, _POINTS_FILE)
         self.n = int(meta["n"])
         self.params = Params.from_dict(meta["params"])
         self.store = BlockStore(
@@ -231,10 +233,20 @@ class PagedHNSW:
 
     def _packed_rows_host(self, ids: np.ndarray) -> np.ndarray:
         """Packed rows (``search.pack_layer`` byte layout) for ``ids``,
-        assembled host-side from the memmap adjacency + paged blocks."""
+        assembled host-side from the memmap adjacency + paged blocks —
+        via the native C++ assembler (``native/fastio.cpp``: one mmap
+        pass, BE->LE scale swap in place) when available, else numpy."""
         ids = np.asarray(ids, np.int64).ravel()
         cap = self.adj0.shape[1]
         d = self.store.dim
+        from ..native import assemble_packed_rows
+
+        out = assemble_packed_rows(
+            self._adj_path, self.n, cap, self._blocks_path, d,
+            self.store.max_per_block, ids,
+        )
+        if out is not None:
+            return out
         adj = np.asarray(self.adj0[np.clip(ids, 0, self.n - 1)])  # [K, cap]
         safe = np.where(adj >= 0, adj, 0).ravel()
         codes, scales = self._codes_scales(safe)

@@ -78,8 +78,36 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.assemble_packed_rows.restype = ctypes.c_int64
+        lib.assemble_packed_rows.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
+
+
+def assemble_packed_rows(
+    adj_path: str, n: int, cap: int, blocks_path: str, d: int,
+    max_per_block: int, ids,
+):
+    """Native cold-tier packed-row assembly (see fastio.cpp); returns
+    u8[K, cap*(d+12)] or None when the native library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(np.asarray(ids, np.int64).ravel())
+    out = np.empty((ids.size, cap * (d + 12)), np.uint8)
+    got = lib.assemble_packed_rows(
+        adj_path.encode(), n, cap, blocks_path.encode(), d, max_per_block,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ids.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out if got == ids.size else None
 
 
 WORD_CAP = 64

@@ -170,4 +170,56 @@ int64_t pread_block(const char* path, int64_t offset, int64_t nbytes, uint8_t* o
     return got;
 }
 
+// Cold-tier packed-row assembly for the hybrid paged server
+// (models/paged.py HybridPagedHNSW): for each requested node, gather its
+// adjacency row from the raw int32 memmap file and its neighbors'
+// records from the block file, and emit the serving pack_layer byte
+// layout `codes u8[cap*d] | scales f32-LE[cap*2] | ids i32[cap*4]`.
+// The block record is `level u8 | min f32 BE | delta f32 BE | codes
+// u8[d]` (points/src/point.rs:46-76 codec), so min/delta are byte-
+// swapped to the native little-endian bitcast pack_layer expects. Both
+// files are mmap'd once per call; the OS page cache is the cold-row LRU.
+// Returns k on success, negative on error.
+int64_t assemble_packed_rows(const char* adj_path, int64_t n, int64_t cap,
+                             const char* blocks_path, int64_t d,
+                             int64_t max_per_block, const int64_t* ids,
+                             int64_t k, uint8_t* out) {
+    Mapped adj_m = map_file(adj_path);
+    if (!adj_m.ok()) return -1;
+    Mapped blk_m = map_file(blocks_path);
+    if (!blk_m.ok()) { unmap(adj_m); return -2; }
+    const int64_t ps = 9 + d;                    // record size
+    const int64_t file_header = 16, block_header = 6;
+    const int64_t block_bytes = block_header + max_per_block * ps;
+    const int64_t wrow = cap * (d + 12);
+    const int32_t* adj = (const int32_t*)adj_m.data;
+    const uint8_t* blk = (const uint8_t*)blk_m.data;
+    for (int64_t i = 0; i < k; i++) {
+        int64_t id = ids[i];
+        if (id < 0) id = 0;
+        if (id >= n) id = n - 1;
+        const int32_t* row = adj + id * cap;
+        uint8_t* oc = out + i * wrow;            // codes region
+        uint8_t* os = oc + cap * d;              // scales region
+        uint8_t* oi = os + cap * 8;              // ids region
+        for (int64_t j = 0; j < cap; j++) {
+            int32_t nbr = row[j];
+            int64_t safe = nbr < 0 ? 0 : nbr;
+            if (safe >= n) safe = n - 1;
+            const uint8_t* rec = blk + file_header
+                + (safe / max_per_block) * block_bytes + block_header
+                + (safe % max_per_block) * ps;
+            memcpy(oc + j * d, rec + 9, d);
+            // BE -> LE f32 byte swap for (min, delta)
+            uint8_t* s = os + j * 8;
+            s[0] = rec[4]; s[1] = rec[3]; s[2] = rec[2]; s[3] = rec[1];
+            s[4] = rec[8]; s[5] = rec[7]; s[6] = rec[6]; s[7] = rec[5];
+            memcpy(oi + j * 4, &nbr, 4);
+        }
+    }
+    unmap(adj_m);
+    unmap(blk_m);
+    return k;
+}
+
 }  // extern "C"

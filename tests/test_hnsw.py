@@ -240,3 +240,23 @@ def test_packed_build_is_bit_identical_to_plain():
         assert bool(jnp.array_equal(la, lb))
     fresh = pack_layer(b.graph.get_layer(0), b.points.codes, b.points.scales)
     assert bool(jnp.array_equal(a._packed0, fresh))
+
+
+def test_packed_build_lag_mode_fresh_at_end():
+    # deferred-repack mode (pack_lag>1): rows may serve stale DURING the
+    # build, but layer boundaries force a refresh, so the final table
+    # always equals pack_layer(final adjacency) and the index quality
+    # stays in family with the exact mode.
+    import jax.numpy as jnp
+
+    from hnsw_rs_tpu.search import pack_layer
+
+    rng = np.random.default_rng(321)
+    v = rng.standard_normal((700, 16)).astype(np.float32)
+    a = HNSW(8, ef_cons=32, dim=16)
+    a.insert_bulk(v, pack_lag=4)
+    assert a._packed0 is not None
+    fresh = pack_layer(a.graph.get_layer(0), a.points.codes, a.points.scales)
+    assert bool(jnp.array_equal(a._packed0, fresh))
+    _, ids = a.ann_batch(v[:64], 1, 32)
+    assert float(np.mean(ids[:, 0] == np.arange(64))) > 0.95

@@ -69,3 +69,44 @@ def test_native_speedup():
     nat = time.perf_counter() - t0
     # not a strict perf gate, just a sanity ratio
     assert nat < py, f"native {nat:.4f}s not faster than python {py:.4f}s"
+
+
+def test_native_packed_row_assembly_matches_numpy(tmp_path):
+    # the C++ cold-tier assembler must emit byte-identical pack_layer rows
+    import jax
+
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.paged import PagedHNSW, save_paged
+    from hnsw_rs_tpu.native import assemble_packed_rows, get_lib
+    from hnsw_rs_tpu.utils import gen_rand_vecs
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    vecs = gen_rand_vecs(300, 12, seed=44)
+    index = HNSW(6, ef_cons=24, dim=12)
+    index.insert_bulk(vecs)
+    path = str(tmp_path / "p")
+    save_paged(index, path)
+    pg = PagedHNSW(path)
+    ids = np.asarray([0, 5, 7, 123, 299, 150])
+    native = assemble_packed_rows(
+        pg._adj_path, pg.n, pg.adj0.shape[1], pg._blocks_path,
+        pg.store.dim, pg.store.max_per_block, ids,
+    )
+    assert native is not None
+    # numpy reference path (skip the native shortcut inside)
+    cap, d = pg.adj0.shape[1], pg.store.dim
+    adj = np.asarray(pg.adj0[ids])
+    safe = np.where(adj >= 0, adj, 0).ravel()
+    codes, scales = pg._codes_scales(safe)
+    ref = np.concatenate(
+        [
+            codes.reshape(ids.size, cap * d),
+            scales.view(np.uint8).reshape(ids.size, cap * 8),
+            adj.astype(np.int32).view(np.uint8).reshape(ids.size, cap * 4),
+        ],
+        axis=1,
+    )
+    np.testing.assert_array_equal(native, ref)
