@@ -1,0 +1,101 @@
+"""Out-of-core serving QPS: host-side PagedHNSW vs the device hot-tier
+HybridPagedHNSW, with the hot tier capped at a fraction of the packed
+index (the artificial "HBM cap": the index's packed rows are ~2x the
+budget). Reports recall parity vs the in-memory packed index, hot-tier
+hit rate, and QPS for both paged modes. Writes
+benchmarks/PAGED_HYBRID.json.
+
+Run on the real TPU (the dev tunnel's ~33 ms/dispatch floor and ~5 MB/s
+host->device staging bound the hybrid number here — the json records
+dispatches/query so the non-tunnel projection is explicit):
+    python benchmarks/bench_paged_hybrid.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.paged import HybridPagedHNSW, PagedHNSW, save_paged
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
+
+    N = 50_000 if "--quick" in sys.argv else 200_000
+    D, M, EFC, K, EF = 96, 16, 96, 10, 64
+    ds = synthetic_clustered(N, D, n_queries=256, seed=7)
+
+    cache = os.path.join(ROOT, ".bench_cache")
+    idx_dir = os.path.join(cache, f"idx_paged_n{N}_d{D}_m{M}")
+    os.makedirs(cache, exist_ok=True)
+    if os.path.isdir(idx_dir):
+        index = HNSW.load(idx_dir)
+    else:
+        index = HNSW(M, ef_cons=EFC, dim=D)
+        index.insert_bulk(ds.train)
+        index.save(idx_dir)
+    index.finalize(pivots=4096)
+    paged_dir = os.path.join(cache, f"paged_n{N}_d{D}_m{M}")
+    if not os.path.isdir(paged_dir):
+        save_paged(index, paged_dir)
+
+    # in-memory packed+seeded reference answers (recall-parity target)
+    t_mem, ids_mem = index.ann_batch(ds.test, K, EF)
+
+    cap0 = index.graph.get_layer(0).shape[1]
+    wrow = cap0 * (D + 12)
+    hot_bytes = (N // 2) * wrow  # hot tier = half the packed rows
+
+    out = {"n": N, "d": D, "m": M, "ef": EF, "k": K,
+           "hot_fraction": 0.5, "rows": []}
+
+    def parity(ids):
+        return float(np.mean([
+            len(set(a) & set(b)) / K for a, b in zip(ids, ids_mem)
+        ]))
+
+    # host-side exact paged reader (the round-2 correctness baseline)
+    host = PagedHNSW(paged_dir, cache_blocks=4096)
+    t0 = time.time()
+    _, ids_host = host.ann_batch(ds.test, K, EF)
+    dt_host = time.time() - t0
+    out["rows"].append({
+        "mode": "host-paged", "qps": round(len(ds.test) / dt_host, 1),
+        "parity_vs_mem": round(parity(ids_host), 4),
+    })
+    print(json.dumps(out["rows"][-1]), flush=True)
+
+    hyb = HybridPagedHNSW(paged_dir, hot_bytes=hot_bytes, pivots=4096,
+                          cache_blocks=4096)
+    _, _ = hyb.ann_batch(ds.test[:32], K, EF)  # warm compiles
+    hyb.hits = hyb.misses = 0
+    t0 = time.time()
+    _, ids_hyb = hyb.ann_batch(ds.test, K, EF)
+    dt_hyb = time.time() - t0
+    exp = hyb.hits + hyb.misses
+    out["rows"].append({
+        "mode": "hybrid-hot-tier", "qps": round(len(ds.test) / dt_hyb, 1),
+        "parity_vs_mem": round(parity(ids_hyb), 4),
+        "hot_hit_rate": round(hyb.hits / max(exp, 1), 4),
+        "hot_rows": hyb.hot_rows,
+        "expansions": exp,
+    })
+    print(json.dumps(out["rows"][-1]), flush=True)
+
+    with open(os.path.join(ROOT, "benchmarks", "PAGED_HYBRID.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote benchmarks/PAGED_HYBRID.json")
+
+
+if __name__ == "__main__":
+    main()

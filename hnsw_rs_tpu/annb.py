@@ -28,6 +28,12 @@ The reference evaluates the same protocol by hand in its eval binary
 (``hnsw/src/main.rs`` / ``helpers/glove.rs:73-109``: brute-force truth +
 recall over a query split); this adapter exposes ours to the shared
 harness instead of a private loop.
+
+CAVEAT: this adapter has never met the real ann-benchmarks harness (the
+package cannot be installed here — no egress); the protocol is duck-typed
+from its BaseANN source and pinned by fixture tests (tests/test_annb.py)
+only. Treat the first run under the actual harness as integration, not
+regression.
 """
 
 from __future__ import annotations

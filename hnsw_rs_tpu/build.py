@@ -243,12 +243,25 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
     targets_u = jnp.where(first, tgt, n)  # unique targets (others -> n)
     ex = jnp.take(adj, targets_u, axis=0, mode="fill", fill_value=SENTINEL)
     # distances target -> existing neighbors (recomputed; the reference
-    # recomputes them too in prune_connections, template.rs:224-230)
+    # recomputes them too in prune_connections, template.rs:224-230),
+    # CHUNKED over the e = W*m lanes: the one-shot [E, cap, d] f32 temp
+    # reaches ~1.8 GB at W=4096/m=24 and was the apply stage's peak-HBM
+    # cliff at million scale
     tsafe = jnp.clip(targets_u, 0, n - 1 if n else 0)
-    tvec = dequantize(codes[tsafe], scales[tsafe])  # [E, d]
     exsafe = jnp.clip(ex, 0, codes.shape[0] - 1)
-    exvec = dequantize(codes[exsafe], scales[exsafe])  # [E, cap, d]
-    exd2 = jnp.sum((tvec[:, None, :] - exvec) ** 2, axis=-1)
+    ech = 8192
+    epad = -(-e // ech) * ech
+    t_ch = jnp.pad(tsafe, (0, epad - e)).reshape(-1, ech)
+    ex_ch = jnp.pad(exsafe, ((0, epad - e), (0, 0))).reshape(-1, ech, cap)
+
+    def _exd2_step(_, args):
+        tc, xc = args
+        tvec = dequantize(codes[tc], scales[tc])  # [ech, d]
+        exvec = dequantize(codes[xc], scales[xc])  # [ech, cap, d]
+        return None, jnp.sum((tvec[:, None, :] - exvec) ** 2, axis=-1)
+
+    _, exd2 = jax.lax.scan(_exd2_step, None, (t_ch, ex_ch))
+    exd2 = exd2.reshape(epad, cap)[:e]
     exd2 = jnp.where(ex >= 0, exd2, INF)
     # protected: this row holds that neighbor's only in-edge — evicting it
     # would orphan the neighbor (isolate_node semantics)
@@ -589,6 +602,8 @@ class PackedBuildState:
 
     def refresh(self, graph: LayeredGraph, store: PointStore) -> None:
         n = self.packed0.shape[0]
+        self.packed0 = None  # release the old table BEFORE packing: two
+        # live multi-GB tables + gather temps would blow HBM at 1M
         self.packed0 = pack_layer(
             graph.get_layer(0)[:n], store.codes[:n], store.scales[:n]
         )

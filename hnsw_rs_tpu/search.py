@@ -36,6 +36,7 @@ from .ops.quant import dequantize
 from .ops.topk import (
     INF,
     PAD_ID,
+    SENTINEL,
     dedup_ids,
     merge_sorted_dist_id,
     sort_dist_id,
@@ -358,16 +359,36 @@ def pack_layer(
     f32-bytes[cap*8] | ids i32-bytes[cap*4]`` — built with the inverse
     bitcast, so decode round-trips exactly. A serving-time memory trade
     selected via :meth:`models.hnsw.HNSW.finalize`.
+
+    Assembled in row CHUNKS (scan + dynamic_update_slice): a one-shot
+    gather materializes ~2x the table transiently, which at million
+    scale (5+ GB tables) is the difference between fitting HBM and
+    ResourceExhausted.
     """
     n, cap = adj.shape
     d = codes.shape[1]
-    safe = jnp.where(adj >= 0, adj, 0)
-    pk_codes = codes[safe].reshape(n, cap * d)
-    sc_bytes = jax.lax.bitcast_convert_type(
-        scales[safe], jnp.uint8
-    ).reshape(n, cap * 8)
-    id_bytes = jax.lax.bitcast_convert_type(adj, jnp.uint8).reshape(n, cap * 4)
-    return jnp.concatenate([pk_codes, sc_bytes, id_bytes], axis=1)
+    wrow = cap * (d + 12)
+    ch = max(1, min(n, (64 << 20) // max(wrow, 1)))  # ~64 MB chunks
+    nch = -(-n // ch)
+    npad = nch * ch
+    adj_p = jnp.pad(adj, ((0, npad - n), (0, 0)), constant_values=SENTINEL)
+
+    def step(out, i):
+        a = jax.lax.dynamic_slice_in_dim(adj_p, i * ch, ch, 0)
+        safe = jnp.where(a >= 0, a, 0)
+        pk_codes = codes[safe].reshape(ch, cap * d)
+        sc_bytes = jax.lax.bitcast_convert_type(
+            scales[safe], jnp.uint8
+        ).reshape(ch, cap * 8)
+        id_bytes = jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(
+            ch, cap * 4
+        )
+        row = jnp.concatenate([pk_codes, sc_bytes, id_bytes], axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(out, row, i * ch, 0), None
+
+    out0 = jnp.zeros((npad, wrow), jnp.uint8)
+    out, _ = jax.lax.scan(step, out0, jnp.arange(nch))
+    return out[:n]
 
 
 def comb_table(codes: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
