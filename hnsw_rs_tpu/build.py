@@ -56,12 +56,16 @@ from .utils.progress import ProgressBar
 
 # Packed-build knobs. The packed layer-0 table costs cap*(d+12) bytes per
 # point of extra device memory during the build; it is enabled ('auto')
-# whenever that stays under the limit below. _FIX_CAP bounds the orphan-
-# repair rows repacked per wave; overflow (pathological hub floods only —
-# ramped builds see zero orphans) sets a stale flag that triggers a full
-# host-side repack (checked every _STALE_CHECK_EVERY waves and at layer
-# boundaries), keeping packed rows consistent with the adjacency.
-PACKED_BUILD_LIMIT = 8 << 30
+# whenever that stays under the limit below. The limit leaves room for
+# the wave transients (~2 GB at W=4096/M=24) and the adjacency stacks:
+# this dev TPU exposes only ~7-8 GB usable HBM (DEVNOTES "usable HBM"),
+# so a 5.2 GB table (1M x M=24) OOMs mid-build even though it fits alone
+# at serving time. _FIX_CAP bounds the orphan-repair rows repacked per
+# wave; overflow (pathological hub floods only — ramped builds see zero
+# orphans) sets a stale flag that triggers a full host-side repack
+# (checked every _STALE_CHECK_EVERY waves and at layer boundaries),
+# keeping packed rows consistent with the adjacency.
+PACKED_BUILD_LIMIT = int(3.5 * (1 << 30))
 _FIX_CAP = 4096
 _STALE_CHECK_EVERY = 16
 
@@ -696,6 +700,7 @@ def build_index(
     build_expand: int = 1,
     packed_build: bool | str = "auto",
     pack_lag: int = 1,
+    wave_sort: bool = False,
 ) -> tuple[LayeredGraph, int, "jnp.ndarray | None"]:
     """Build the full layered graph for ``store`` (``insert_bulk``,
     ``template.rs:388-445``): per layer top-down, wave-insert that layer's
@@ -745,9 +750,28 @@ def build_index(
         else None
     )
 
+    # wave_sort: order each layer's home nodes by a 1-D random projection
+    # so lockstep waves hold spatially-coherent queries — per-chunk
+    # max-acceptance and beam-convergence divergence tightens (the
+    # while_loops run to the max over the wave). Changes the insertion
+    # order, so the graph differs from the input-order build (quality
+    # measured, not pinned); default off.
+    proj = None
+    if wave_sort and n:
+        r = np.random.default_rng(7).standard_normal(d).astype(np.float32)
+        rd = jnp.asarray(r)
+        cdot = jnp.einsum(
+            "nd,d->n", store.codes[:n].astype(jnp.float32), rd
+        )
+        proj = np.asarray(
+            store.scales[:n, 0] * float(r.sum()) + store.scales[:n, 1] * cdot
+        )
+
     bar = ProgressBar("building HNSW index", n, enabled=verbose)
     for layer_nb in range(top, -1, -1):
         home = np.flatnonzero(levels == layer_nb).astype(np.int32)
+        if proj is not None and home.size > 1:
+            home = home[np.argsort(proj[home], kind="stable")]
         insert_waves(
             graph, store, params, home, layer_nb, ep, max_iters, bar,
             wave_base, wave_growth, wave_cap, build_expand,
