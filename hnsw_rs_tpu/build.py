@@ -43,6 +43,7 @@ from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, SENTINEL
 from .params import Params
 from .search import (
+    _pivot_seeds,
     comb_table,
     empty_packed,
     greedy_descent,
@@ -387,6 +388,8 @@ def _insert_wave_fused_impl(
     packed0=None,
     comb=None,
     repack: bool = True,
+    pivot_ids=None,
+    pivot_vecs=None,
 ):
     """One whole wave as a single dispatch: greedy descent above the home
     layer, then (beam search -> select_heuristic -> apply) for every layer
@@ -407,13 +410,23 @@ def _insert_wave_fused_impl(
     """
     safe = jnp.clip(ids_w, 0, codes.shape[0] - 1)
     q = dequantize(codes[safe], scales[safe])
-    e_d2, e_ids = seed_entry(codes, scales, q, ep)
-    cur_d2, cur_ids = e_d2[:, 0], e_ids[:, 0]
-    for lam in range(len(adjs) - 1, layer_nb, -1):
-        cur_d2, cur_ids = greedy_descent(
-            adjs[lam], codes, scales, q, cur_d2, cur_ids, forbid=ids_w
-        )
-    entry_d2, entry_ids = cur_d2[:, None], cur_ids[:, None]
+    if pivot_vecs is not None and layer_nb == 0:
+        # SEEDED construction (build_seeded): every level>=1 node is
+        # already inserted before any layer-0 home wave, so one MXU
+        # matmul against that skeleton hands the beam ef GOOD seeds
+        # instead of one descent entry — the lockstep beam loop (which
+        # runs to its iteration cap, benchmarks/micro/bench_search_
+        # iters.py) then needs far fewer discovery iterations at equal
+        # pool quality. The serving-side analogue is ann_search_seeded.
+        entry_d2, entry_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
+    else:
+        e_d2, e_ids = seed_entry(codes, scales, q, ep)
+        cur_d2, cur_ids = e_d2[:, 0], e_ids[:, 0]
+        for lam in range(len(adjs) - 1, layer_nb, -1):
+            cur_d2, cur_ids = greedy_descent(
+                adjs[lam], codes, scales, q, cur_d2, cur_ids, forbid=ids_w
+            )
+        entry_d2, entry_ids = cur_d2[:, None], cur_ids[:, None]
 
     new_adjs = list(adjs)
     new_indegs = list(indegs)
@@ -629,6 +642,7 @@ def insert_waves(
     wave_cap: int = 4096,
     build_expand: int = 1,
     packed_state: "PackedBuildState | None" = None,
+    pivots: tuple | None = None,
 ) -> None:
     """Insert ``home_ids`` (all of level == layer_nb) wave by wave.
 
@@ -640,6 +654,7 @@ def insert_waves(
     codes, scales = store.codes, store.scales
     nlayers = len(graph)
     ep_dev = jnp.asarray(ep, jnp.int32)
+    piv_ids, piv_vecs = pivots if pivots is not None else (None, None)
     off = 0
     wave_i = 0
     for wsize in wave_schedule(len(home_ids), wave_base, wave_growth, wave_cap):
@@ -660,6 +675,7 @@ def insert_waves(
                 expand_e=build_expand,
                 packed0=packed_state.packed0, comb=packed_state.comb,
                 repack=packed_state.lag <= 1,
+                pivot_ids=piv_ids, pivot_vecs=piv_vecs,
             )
             packed_state.packed0 = packed0
             packed_state.note_stale(stale)
@@ -680,6 +696,7 @@ def insert_waves(
                 ef=params.ef_cons, m=params.m, max_iters=max_iters,
                 layer_nb=layer_nb, extend_cands=params.extend_cands,
                 expand_e=build_expand,
+                pivot_ids=piv_ids, pivot_vecs=piv_vecs,
             )
         for lam in range(nlayers):
             graph.set_layer(lam, new_adjs[lam], new_indegs[lam])
@@ -701,6 +718,7 @@ def build_index(
     packed_build: bool | str = "auto",
     pack_lag: int = 1,
     wave_sort: bool = False,
+    build_seeded: bool = False,
 ) -> tuple[LayeredGraph, int, "jnp.ndarray | None"]:
     """Build the full layered graph for ``store`` (``insert_bulk``,
     ``template.rs:388-445``): per layer top-down, wave-insert that layer's
@@ -767,6 +785,20 @@ def build_index(
             store.scales[:n, 0] * float(r.sum()) + store.scales[:n, 1] * cdot
         )
 
+    # build_seeded: layer-0 construction searches start from ef pivot
+    # seeds (the already-inserted level>=1 skeleton) instead of one
+    # greedy-descent entry — pair with a tighter max_iters for the
+    # throughput win (the lockstep beam runs to its cap; see DEVNOTES)
+    pivots = None
+    if build_seeded and top >= 1:
+        piv = np.flatnonzero(levels >= 1).astype(np.int32)
+        if piv.size:
+            piv_dev = jnp.asarray(piv)
+            pivots = (
+                piv_dev,
+                dequantize(store.codes[piv_dev], store.scales[piv_dev]),
+            )
+
     bar = ProgressBar("building HNSW index", n, enabled=verbose)
     for layer_nb in range(top, -1, -1):
         home = np.flatnonzero(levels == layer_nb).astype(np.int32)
@@ -776,6 +808,7 @@ def build_index(
             graph, store, params, home, layer_nb, ep, max_iters, bar,
             wave_base, wave_growth, wave_cap, build_expand,
             packed_state=state,
+            pivots=pivots if layer_nb == 0 else None,
         )
     bar.finish()
     fixes = repair_connectivity(graph, store)

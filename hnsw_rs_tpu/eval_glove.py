@@ -61,8 +61,13 @@ def main(argv=None) -> int:
         index = HNSW(args.m, ef_cons=args.ef_cons, dim=stored.shape[1],
                      metric=args.metric)
         t0 = time.time()
+        kw = {}
+        if args.build_seeded:
+            kw["build_seeded"] = True
+        if args.build_mi is not None:
+            kw["max_iters"] = args.build_mi
         index.insert_bulk(stored, verbose=verbose,
-                          build_expand=args.build_expand)
+                          build_expand=args.build_expand, **kw)
         np.asarray(index.graph.get_layer(0))  # force async build completion
         dt = time.time() - t0
         log.info("built index: %d vectors in %.2fs (%.0f vec/s, includes "

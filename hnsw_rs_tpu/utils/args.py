@@ -34,6 +34,14 @@ def eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--build-expand", type=int, default=1,
                    help="beam pops per construction-search iteration "
                    "(E>1: ~E× fewer lockstep iterations, build knob)")
+    p.add_argument("--build-seeded", action="store_true",
+                   help="seed layer-0 construction searches from the "
+                   "level>=1 pivot skeleton (one MXU matmul) instead of "
+                   "greedy descent; pair with a tighter --build-mi")
+    p.add_argument("--build-mi", type=int, default=None,
+                   help="construction-search iteration cap (default "
+                   "2*ef_cons+16; the lockstep beam runs to the cap, so "
+                   "this is a direct build speed/quality knob)")
     p.add_argument("--expand", type=int, default=1,
                    help="beam pops per serving-search iteration (packed "
                    "layout; E>1 amortizes per-iteration fixed costs)")

@@ -260,3 +260,32 @@ def test_packed_build_lag_mode_fresh_at_end():
     assert bool(jnp.array_equal(a._packed0, fresh))
     _, ids = a.ann_batch(v[:64], 1, 32)
     assert float(np.mean(ids[:, 0] == np.arange(64))) > 0.95
+
+
+def test_build_seeded_quality_in_family():
+    # seeded construction (build_seeded=True): layer-0 searches start
+    # from the level>=1 pivot skeleton. The graph differs from the
+    # descent-entry build, but quality stays in family even with a much
+    # tighter iteration cap.
+    rng = np.random.default_rng(99)
+    v = rng.standard_normal((1200, 24)).astype(np.float32)
+    q = rng.standard_normal((48, 24)).astype(np.float32)
+
+    from hnsw_rs_tpu import FlatIndex
+
+    flat = FlatIndex(24)
+    flat.add(v)
+    _, truth = flat.search(q, 10, exact=True)
+
+    base = HNSW(8, ef_cons=48, dim=24)
+    base.insert_bulk(v)
+    seeded = HNSW(8, ef_cons=48, dim=24)
+    seeded.insert_bulk(v, build_seeded=True, max_iters=64)
+
+    def rec(idx):
+        _, ids = idx.ann_batch(q, 10, 64)
+        return np.mean([len(set(a) & set(t)) / 10 for a, t in zip(ids, truth)])
+
+    r_base, r_seeded = rec(base), rec(seeded)
+    assert r_seeded >= r_base - 0.03, (r_seeded, r_base)
+    assert seeded.assert_param_compliance(verbose=False)
