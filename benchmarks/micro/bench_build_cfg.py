@@ -1,0 +1,98 @@
+"""Parametrized 1M build-throughput ladder: one (config -> rate, recall)
+row per invocation, for the round-3 builder push (VERDICT: >=15x the
+measured single-core C++ baseline at N=1M).
+
+    python benchmarks/micro/bench_build_cfg.py \
+        [--n 1000000] [--mi 96] [--efc 128] [--seeded] \
+        [--packed off|auto|on] [--lag 8] [--wave-sort] [--wave-cap 4096] \
+        [--tag label]
+
+Builds twice (cold = remote compiles, warm = the reported rate), then
+spot-checks recall@10 at the headline serving config (pivots=8192,
+(ef=40, mi=24) and (ef=48, mi=32)) against exact quantized-space ground
+truth. Run on the real TPU.
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from hnsw_rs_tpu import HNSW  # noqa: E402
+from hnsw_rs_tpu.models.flat import _flat_search_tiled  # noqa: E402
+from hnsw_rs_tpu.models.hnsw import _ann_seeded_jit  # noqa: E402
+from hnsw_rs_tpu.ops.distance import point_normsq  # noqa: E402
+from hnsw_rs_tpu.ops.quant import dequantize, quantize  # noqa: E402
+from hnsw_rs_tpu.utils.datasets import synthetic_clustered  # noqa: E402
+
+p = argparse.ArgumentParser()
+p.add_argument("--n", type=int, default=1_000_000)
+p.add_argument("--mi", type=int, default=96)
+p.add_argument("--efc", type=int, default=128)
+p.add_argument("--m", type=int, default=24)
+p.add_argument("--seeded", action="store_true")
+p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
+p.add_argument("--lag", type=int, default=1)
+p.add_argument("--wave-sort", action="store_true")
+p.add_argument("--wave-cap", type=int, default=4096)
+p.add_argument("--once", action="store_true", help="skip the cold build")
+p.add_argument("--tag", default="")
+a = p.parse_args()
+
+D, K = 96, 10
+ds = synthetic_clustered(a.n, D, n_queries=256, seed=42)
+kw = dict(
+    max_iters=a.mi,
+    build_seeded=a.seeded,
+    packed_build={"off": False, "auto": "auto", "on": True}[a.packed],
+    pack_lag=a.lag,
+    wave_sort=a.wave_sort,
+    wave_cap=a.wave_cap,
+)
+tag = a.tag or (
+    f"mi={a.mi} efc={a.efc}"
+    + (" seeded" if a.seeded else "")
+    + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
+    + (" wsort" if a.wave_sort else "")
+    + (f" wcap={a.wave_cap}" if a.wave_cap != 4096 else "")
+)
+
+
+def build(label):
+    t0 = time.time()
+    idx = HNSW(a.m, ef_cons=a.efc, dim=D)
+    idx.insert_bulk(ds.train, verbose=True, **kw)
+    for adj in idx.graph.adjs:
+        int(jnp.sum(jnp.abs(adj) % 7))
+    dt = time.time() - t0
+    print(f"[{tag}] {label}: {dt:.1f}s = {a.n/dt:.0f} vec/s", flush=True)
+    return idx
+
+
+if not a.once:
+    idx = build("cold")
+idx = build("warm")
+
+qq = dequantize(*quantize(jnp.asarray(ds.test)))
+normsq = point_normsq(idx.points.codes, idx.points.scales)
+_, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
+    qq, idx.points.codes, idx.points.scales, normsq
+)
+truth = [set(t) for t in np.asarray(ti)[:, :K]]
+idx.finalize(pivots=8192)
+for ef, mi_q in ((40, 24), (48, 32)):
+    _, ann = _ann_seeded_jit(
+        idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
+    )
+    rec = float(
+        np.mean([len(set(x) & t) / K for x, t in zip(np.asarray(ann), truth)])
+    )
+    print(f"[{tag}] recall@10 ef={ef} mi={mi_q}: {rec:.4f}", flush=True)

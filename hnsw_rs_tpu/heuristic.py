@@ -31,6 +31,8 @@ thousands at large ``ef_cons``).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,7 @@ from .ops.topk import INF, PAD_ID, dedup_ids, sort_dist_id
 from .search import _gather_vecs
 
 _D2_CHUNK = 256  # pool-distance tile: bounds gather temps to [B, 256, d]
+_ACCEPT_CHUNK = int(os.environ.get("HNSW_ACCEPT_CHUNK", "128"))
 
 
 def _chunked_d2(codes, scales, q, ids):
@@ -239,7 +242,10 @@ def _accept_from_pool(
     # elementwise work plus one P-row gather — no per-acceptance matvec.
     # (A G-step scan resolving every position is NOT faster: G tiny steps
     # cost the same wall-clock as ~m heavier ones — measured.)
-    g = min(128, c)
+    # G trades chunk count (lockstep cost = Σ_chunks max-acceptances) against
+    # the [B, G, G] pairwise temp (1 GB at B=4096/G=256); 128 is the measured
+    # sweet spot, HNSW_ACCEPT_CHUNK overrides for experiments.
+    g = min(_ACCEPT_CHUNK, c)
     nchunks = -(-c // g)
     cp = nchunks * g
     pool_d2p = jnp.pad(pool_d2, ((0, 0), (0, cp - c)), constant_values=INF)

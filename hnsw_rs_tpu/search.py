@@ -57,6 +57,26 @@ def _gather_vecs(codes: jnp.ndarray, scales: jnp.ndarray, ids: jnp.ndarray) -> j
     return codes[safe]
 
 
+def _pack_exp_id(ids: jnp.ndarray, exp: jnp.ndarray) -> jnp.ndarray:
+    """Pack the beam's ``expanded`` flag into the id's LSB: ``2*id + exp``
+    for real ids, PAD_ID unchanged. Order-preserving under the (d2, id)
+    lexicographic compare — every real id in a merge is unique (the beam
+    dedups, and ``known`` masking keeps new candidates disjoint from it),
+    so comparing ``2*id + e`` orders exactly like comparing ``id`` — which
+    lets the per-iteration bitonic merge carry TWO operand arrays instead
+    of three (each operand is ~a third of the merge's elementwise work).
+    Requires ``2*id + 1 < PAD_ID``, i.e. N < 2^30."""
+    return jnp.where(ids == PAD_ID, PAD_ID, 2 * ids + exp.astype(jnp.int32))
+
+
+def _unpack_exp_id(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`_pack_exp_id`; PAD entries decode as expanded."""
+    pad = packed == PAD_ID
+    ids = jnp.where(pad, PAD_ID, packed >> 1)
+    exp = jnp.logical_or(pad, (packed & 1) == 1)
+    return ids, exp
+
+
 def _row_min_dist_id(d2: jnp.ndarray, ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(min d2, min id among argmins) along the last axis — the Dist-order
     minimum with id tie-break."""
@@ -222,12 +242,20 @@ def _beam_loop(
 
         # sort the cap new candidates (narrow), then bitonic-MERGE into
         # the already-sorted beam: log passes instead of the full
-        # (ef+cap)-wide sort's log² — the dominant per-iteration cost
-        nd2, nids, nexp = sort_dist_id(nd2, nids, jnp.logical_not(new))
-        md2, mids, mexp = merge_sorted_dist_id(
-            beam_d2, beam_ids, nd2, nids, beam_exp, nexp
+        # (ef+cap)-wide sort's log² — the dominant per-iteration cost.
+        # The expanded flag rides the id's LSB (see _pack_exp_id): the
+        # cap-sort carries 2 operands instead of 3 (a new entry is
+        # unexpanded iff it is real, so the flag needs no sort payload)
+        # and the merge network moves 2 arrays instead of 3.
+        nd2, nids = sort_dist_id(nd2, nids)
+        md2, mpk = merge_sorted_dist_id(
+            beam_d2,
+            _pack_exp_id(beam_ids, beam_exp),
+            nd2,
+            _pack_exp_id(nids, nids == PAD_ID),
         )
-        return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
+        mids, mexp = _unpack_exp_id(mpk[:, :ef])
+        return (it + 1, md2[:, :ef], mids, mexp, ring)
 
     e = expand_e
 
@@ -276,12 +304,16 @@ def _beam_loop(
         nd2, nids = dedup_ids(nd2, nids)
 
         # sort candidates, then bitonic-merge into the sorted beam (see
-        # body_1)
-        nd2, nids, nexp = sort_dist_id(nd2, nids, nids == PAD_ID)
-        md2, mids, mexp = merge_sorted_dist_id(
-            beam_d2, beam_ids, nd2, nids, beam_exp, nexp
+        # body_1; expanded flag packed into the id LSB)
+        nd2, nids = sort_dist_id(nd2, nids)
+        md2, mpk = merge_sorted_dist_id(
+            beam_d2,
+            _pack_exp_id(beam_ids, beam_exp),
+            nd2,
+            _pack_exp_id(nids, nids == PAD_ID),
         )
-        return (it + 1, md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring)
+        mids, mexp = _unpack_exp_id(mpk[:, :ef])
+        return (it + 1, md2[:, :ef], mids, mexp, ring)
 
     body = body_1 if e <= 1 else body_e
 
@@ -363,18 +395,25 @@ def pack_layer(
     Assembled in row CHUNKS (scan + dynamic_update_slice): a one-shot
     gather materializes ~2x the table transiently, which at million
     scale (5+ GB tables) is the difference between fitting HBM and
-    ResourceExhausted.
+    ResourceExhausted. The output buffer is allocated at EXACTLY [n, wrow]
+    and the last chunk is written at the OVERLAPPING offset n-ch (its
+    leading rows recompute identical bytes — the row is a pure function
+    of the adjacency row) instead of padding to a multiple of ch and
+    slicing ``out[:n]`` at the end: that final slice is a second
+    full-table copy, the 2x cliff this chunking exists to avoid.
     """
     n, cap = adj.shape
     d = codes.shape[1]
     wrow = cap * (d + 12)
+    if n == 0:
+        return jnp.zeros((0, wrow), jnp.uint8)
     ch = max(1, min(n, (64 << 20) // max(wrow, 1)))  # ~64 MB chunks
     nch = -(-n // ch)
-    npad = nch * ch
-    adj_p = jnp.pad(adj, ((0, npad - n), (0, 0)), constant_values=SENTINEL)
+    # chunk start offsets; the tail chunk starts at n-ch (overlap, exact)
+    offs = jnp.minimum(jnp.arange(nch) * ch, n - ch)
 
-    def step(out, i):
-        a = jax.lax.dynamic_slice_in_dim(adj_p, i * ch, ch, 0)
+    def step(out, off):
+        a = jax.lax.dynamic_slice_in_dim(adj, off, ch, 0)
         safe = jnp.where(a >= 0, a, 0)
         pk_codes = codes[safe].reshape(ch, cap * d)
         sc_bytes = jax.lax.bitcast_convert_type(
@@ -384,11 +423,11 @@ def pack_layer(
             ch, cap * 4
         )
         row = jnp.concatenate([pk_codes, sc_bytes, id_bytes], axis=1)
-        return jax.lax.dynamic_update_slice_in_dim(out, row, i * ch, 0), None
+        return jax.lax.dynamic_update_slice_in_dim(out, row, off, 0), None
 
-    out0 = jnp.zeros((npad, wrow), jnp.uint8)
-    out, _ = jax.lax.scan(step, out0, jnp.arange(nch))
-    return out[:n]
+    out0 = jnp.zeros((n, wrow), jnp.uint8)
+    out, _ = jax.lax.scan(step, out0, offs)
+    return out
 
 
 def comb_table(codes: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
