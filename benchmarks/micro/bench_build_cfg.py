@@ -39,6 +39,7 @@ p.add_argument("--mi", type=int, default=96)
 p.add_argument("--efc", type=int, default=128)
 p.add_argument("--m", type=int, default=24)
 p.add_argument("--seeded", action="store_true")
+p.add_argument("--cluster", action="store_true", help="cluster-bulk layer-0 build")
 p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
 p.add_argument("--lag", type=int, default=1)
 p.add_argument("--wave-sort", action="store_true")
@@ -56,10 +57,12 @@ kw = dict(
     pack_lag=a.lag,
     wave_sort=a.wave_sort,
     wave_cap=a.wave_cap,
+    cluster_build=a.cluster,
 )
 tag = a.tag or (
     f"mi={a.mi} efc={a.efc}"
     + (" seeded" if a.seeded else "")
+    + (" cluster" if a.cluster else "")
     + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
     + (" wsort" if a.wave_sort else "")
     + (f" wcap={a.wave_cap}" if a.wave_cap != 4096 else "")

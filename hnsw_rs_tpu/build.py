@@ -67,6 +67,18 @@ from .utils.progress import ProgressBar
 # (checked every _STALE_CHECK_EVERY waves and at layer boundaries),
 # keeping packed rows consistent with the adjacency.
 PACKED_BUILD_LIMIT = int(3.5 * (1 << 30))
+# Deferred-repack mode (pack_lag > 1) never runs the in-wave incremental
+# repack, so its peak is ONE table + the wave transients — no 2x-table
+# repack temps. MEASURED (round 3): even so, a 5.18 GB table (1M x M=24)
+# OOMs in the layer-0 waves on this chip — the fused wave program's
+# transients (packed pool decode ~1 GB, pool sorts ~0.6 GB, accept-loop
+# pairwise temps ~0.8 GB, beams/seeds ~0.5 GB) put the peak past the
+# ~7-8 GB usable; reproduced twice with the chip exclusive, after both
+# the pack_layer exact-size rewrite and the build-pivot cap. Deferred
+# mode therefore buys only a modest headroom bump over the per-wave
+# gate, not a tier: tables up to ~4 GB (1M x M=16 = 3.46 GB fits with
+# ~3 GB to spare; the OOM point is somewhere in (4, 5.18)).
+PACKED_DEFERRED_LIMIT = int(4.0 * (1 << 30))
 _FIX_CAP = 4096
 _STALE_CHECK_EVERY = 16
 
@@ -177,13 +189,21 @@ def _pack_rows(comb, adj, rows, d: int):
 
 
 def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
-                     packed=None, comb=None, repack=True):
+                     packed=None, comb=None, repack=True, set_own=True):
     """Apply one wave's connections at one layer, functionally.
 
     ``ids_w`` int32[W] (invalid lanes < 0), ``nbr_ids``/``nbr_d2`` [W, m]
     heuristic output (PAD_ID/inf padded), ``indeg`` int32[N] running
     in-degree of every node at this layer. Returns (new adjacency,
     new indeg).
+
+    ``set_own=False`` (cluster-bulk apply, ``build_cluster.py``): skip
+    step 1 — own rows and their in-degree contributions were already
+    written for EVERY point in one global pass, because cluster pools
+    contain not-yet-processed points: a later per-batch own-row SET would
+    wipe reverse edges earlier batches added to that row (the wave path
+    never sees this — in-wave nodes are undiscoverable until applied).
+    Only the reverse-edge union-prune + orphan repair run here.
 
     Connectivity invariants (replacing the reference's undirected
     isolate_node protection, ``graph/src/graph.rs:85-94``, which refuses
@@ -199,16 +219,18 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
     lane_valid = (ids_w >= 0)[:, None]
     nbr_ok = jnp.logical_and(nbr_ids != PAD_ID, lane_valid)
 
-    # 1. own rows: heuristic neighbors, sentinel-padded to cap
-    own = jnp.where(nbr_ok, nbr_ids, SENTINEL)
-    if m < cap:
-        own = jnp.concatenate(
-            [own, jnp.full((w, cap - m), SENTINEL, jnp.int32)], axis=1
-        )
-    rows_idx = jnp.where(ids_w >= 0, ids_w, n)  # n = out-of-bounds -> drop
-    adj = adj.at[rows_idx].set(own[:, :cap], mode="drop")
-    # own rows are fresh (new nodes had empty rows): every target gains one
-    indeg = indeg.at[jnp.where(nbr_ok, nbr_ids, n)].add(1, mode="drop")
+    if set_own:
+        # 1. own rows: heuristic neighbors, sentinel-padded to cap
+        own = jnp.where(nbr_ok, nbr_ids, SENTINEL)
+        if m < cap:
+            own = jnp.concatenate(
+                [own, jnp.full((w, cap - m), SENTINEL, jnp.int32)], axis=1
+            )
+        rows_idx = jnp.where(ids_w >= 0, ids_w, n)  # n = oob -> drop
+        adj = adj.at[rows_idx].set(own[:, :cap], mode="drop")
+        # own rows are fresh (new nodes had empty rows): every target
+        # gains one
+        indeg = indeg.at[jnp.where(nbr_ok, nbr_ids, n)].add(1, mode="drop")
 
     # 2. reverse edges, sort-based group-by-target. A single 1-key sort of
     # (target, edge-permutation) groups the edges; payloads are fetched by
@@ -247,6 +269,20 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
 
     targets_u = jnp.where(first, tgt, n)  # unique targets (others -> n)
     ex = jnp.take(adj, targets_u, axis=0, mode="fill", fill_value=SENTINEL)
+    if not set_own:
+        # cluster-bulk apply: the target's row may ALREADY contain an
+        # incoming source (mutual selection — phase A wrote every own row
+        # before any reverse edge). Adding it again would put the id in
+        # the row TWICE; beams then propose both copies (the within-row
+        # lanes pass the known mask together) and the final top-k loses
+        # unique slots to duplicates — measured as a flat ~0.65 recall
+        # ceiling. An existing edge is a set-insert no-op: drop it.
+        dup = jnp.any(
+            inc_ids[:, :, None] == jnp.where(ex >= 0, ex, n)[:, None, :],
+            axis=-1,
+        )
+        inc_ids = jnp.where(dup, SENTINEL, inc_ids)
+        inc_d2 = jnp.where(dup, INF, inc_d2)
     # distances target -> existing neighbors (recomputed; the reference
     # recomputes them too in prune_connections, template.rs:224-230),
     # CHUNKED over the e = W*m lanes: the one-shot [E, cap, d] f32 temp
@@ -390,6 +426,7 @@ def _insert_wave_fused_impl(
     repack: bool = True,
     pivot_ids=None,
     pivot_vecs=None,
+    stop_layer: int = 0,
 ):
     """One whole wave as a single dispatch: greedy descent above the home
     layer, then (beam search -> select_heuristic -> apply) for every layer
@@ -428,10 +465,13 @@ def _insert_wave_fused_impl(
             )
         entry_d2, entry_ids = cur_d2[:, None], cur_ids[:, None]
 
+    # stop_layer > 0 (cluster-bulk mode): insert only at layers >=
+    # stop_layer — layer 0 is built afterwards by build_cluster, which
+    # owns every layer-0 row and its in-degree ledger
     new_adjs = list(adjs)
     new_indegs = list(indegs)
     results = []
-    for lam in range(layer_nb, -1, -1):
+    for lam in range(layer_nb, stop_layer - 1, -1):
         sel_d2, sel_ids = _wave_layer_step_impl(
             adjs[lam], codes, scales, ids_w, entry_d2, entry_ids,
             ef=ef, m=m, max_iters=max_iters, extend_cands=extend_cands,
@@ -458,7 +498,10 @@ def _insert_wave_fused_impl(
 
 _insert_wave_fused = functools.partial(
     jax.jit,
-    static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e"),
+    static_argnames=(
+        "ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e",
+        "stop_layer",
+    ),
     donate_argnames=("adjs", "indegs"),
 )(_insert_wave_fused_impl)
 
@@ -643,6 +686,7 @@ def insert_waves(
     build_expand: int = 1,
     packed_state: "PackedBuildState | None" = None,
     pivots: tuple | None = None,
+    stop_layer: int = 0,
 ) -> None:
     """Insert ``home_ids`` (all of level == layer_nb) wave by wave.
 
@@ -697,6 +741,7 @@ def insert_waves(
                 layer_nb=layer_nb, extend_cands=params.extend_cands,
                 expand_e=build_expand,
                 pivot_ids=piv_ids, pivot_vecs=piv_vecs,
+                stop_layer=stop_layer,
             )
         for lam in range(nlayers):
             graph.set_layer(lam, new_adjs[lam], new_indegs[lam])
@@ -719,6 +764,9 @@ def build_index(
     pack_lag: int = 1,
     wave_sort: bool = False,
     build_seeded: bool = False,
+    build_pivot_cap: int = 8192,
+    cluster_build: bool = False,
+    cluster_kwargs: dict | None = None,
 ) -> tuple[LayeredGraph, int, "jnp.ndarray | None"]:
     """Build the full layered graph for ``store`` (``insert_bulk``,
     ``template.rs:388-445``): per layer top-down, wave-insert that layer's
@@ -732,6 +780,13 @@ def build_index(
     the table stays under ``PACKED_BUILD_LIMIT`` bytes. The final table
     is returned (it IS the serving pack — ``HNSW.finalize``'s layout —
     so a packed build gets packed serving for free); None when disabled.
+
+    ``cluster_build``: replace the layer-0 wave pipeline with the
+    cluster-bulk pass (``build_cluster.py`` — device k-means + dense MXU
+    candidate pools + the same accept/apply machinery; no construction
+    beam searches on the bulk of the data). Upper layers keep the exact
+    wave path. Graph quality is recall-gated, not structure-pinned;
+    ``cluster_kwargs`` forwards to ``build_layer0_clustered``.
 
     ``pack_lag``: 1 (default) repacks the rows each wave rewrote inside
     the wave dispatch — EXACT, the graph is bit-identical to the plain
@@ -756,8 +811,10 @@ def build_index(
     d = int(store.codes.shape[1])
     cap0 = graph.layer_cap(0)
     packed_bytes = n * cap0 * (d + 12)
-    use_packed = packed_build is True or (
-        packed_build == "auto" and 0 < packed_bytes <= PACKED_BUILD_LIMIT
+    auto_limit = PACKED_BUILD_LIMIT if pack_lag <= 1 else PACKED_DEFERRED_LIMIT
+    use_packed = not cluster_build and (
+        packed_build is True
+        or (packed_build == "auto" and 0 < packed_bytes <= auto_limit)
     )
     state = (
         PackedBuildState(
@@ -792,12 +849,48 @@ def build_index(
     pivots = None
     if build_seeded and top >= 1:
         piv = np.flatnonzero(levels >= 1).astype(np.int32)
+        if piv.size > build_pivot_cap > 0:
+            # cap the seed set (even deterministic subsample, the same
+            # policy as HNSW.finalize): the seed stage materializes
+            # [W, P] distance temps inside the fused wave program —
+            # ~1.7 GB at W=4096 x P=41.5k (every level>=1 node at 1M),
+            # which next to a 5+ GB packed table is the difference
+            # between fitting HBM and ResourceExhausted. Serving recall
+            # with 8192 pivots measures equal at 1M (bench.py), and the
+            # build only needs seeds GOOD ENOUGH to feed efc-wide pools.
+            pick = np.unique(
+                np.linspace(0, piv.size - 1, build_pivot_cap)
+                .round().astype(np.int64)
+            )
+            piv = piv[pick]
         if piv.size:
             piv_dev = jnp.asarray(piv)
             pivots = (
                 piv_dev,
                 dequantize(store.codes[piv_dev], store.scales[piv_dev]),
             )
+
+    if cluster_build:
+        # cluster-bulk mode (build_cluster.py): upper layers via the
+        # exact wave path (stopping above layer 0), then ONE clustered
+        # bulk pass owning every layer-0 row — no construction beam
+        # searches at all on the bulk of the data
+        from .build_cluster import build_layer0_clustered
+
+        bar = ProgressBar("building HNSW index", n, enabled=verbose)
+        for layer_nb in range(top, 0, -1):
+            home = np.flatnonzero(levels == layer_nb).astype(np.int32)
+            insert_waves(
+                graph, store, params, home, layer_nb, ep, max_iters, bar,
+                wave_base, wave_growth, wave_cap, build_expand,
+                stop_layer=1,
+            )
+        build_layer0_clustered(
+            graph, store, params, bar=bar, **(cluster_kwargs or {})
+        )
+        bar.finish()
+        repair_connectivity(graph, store)
+        return graph, ep, None
 
     bar = ProgressBar("building HNSW index", n, enabled=verbose)
     for layer_nb in range(top, -1, -1):
