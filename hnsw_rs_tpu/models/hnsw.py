@@ -28,9 +28,11 @@ from ..params import Params
 from ..search import (
     ann_search,
     ann_search_packed,
+    ann_search_pq,
     ann_search_seeded,
     ann_search_seeded_plain,
     pack_layer,
+    pack_layer_pq,
 )
 from ..store import PointStore
 from ..utils.progress import ProgressBar
@@ -70,6 +72,19 @@ def _ann_seeded_jit(
 ):
     return ann_search_seeded(
         packed0, pivot_ids, pivot_vecs, q, ef, k, max_iters, expand_e
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "k", "max_iters", "rerank", "expand_e")
+)
+def _ann_pq_jit(
+    packed0, codebooks, pq_codes, pivot_ids, pivot_vecs, codes, scales, q,
+    ef, k, max_iters, rerank, expand_e=1,
+):
+    return ann_search_pq(
+        packed0, codebooks, pq_codes, pivot_ids, pivot_vecs, codes, scales,
+        q, ef, k, max_iters, rerank, expand_e,
     )
 
 
@@ -126,6 +141,11 @@ class HNSW:
         # the upper-layer skeleton replaces greedy descent at query time
         self._pivots = None
         self._pivots_n = -1
+        # PQ-coded serving (finalize(pq_m=...)): ADC beam over a PQ-packed
+        # layer-0 — the beyond-HBM memory mode (search.ann_search_pq)
+        self._pq = None  # (codebooks, pq_codes, packed0_pq)
+        self._pq_n = -1
+        self.pq_rerank = 0  # exact re-score width; 0 -> max(4k, ef/2)
         # pending incremental inserts, batched into waves (amortizes the
         # one-wave-per-insert_vec dispatch, ~214 ms/call on the dev
         # tunnel); flushed on any read or at pending_flush_size
@@ -341,7 +361,16 @@ class HNSW:
         ep = jnp.asarray(self.params.ep, jnp.int32)
         pack_fresh = self._packed0 is not None and self._packed_n == len(self)
         piv_fresh = self._pivots is not None and self._pivots_n == len(self)
-        if pack_fresh and piv_fresh:
+        pq_fresh = self._pq is not None and self._pq_n == len(self)
+        if pq_fresh and piv_fresh:
+            cb, pq_codes, packed_pq = self._pq
+            rr = self.pq_rerank or max(4 * n, ef // 2)
+            d, i = _ann_pq_jit(
+                packed_pq, cb, pq_codes, self._pivots[0], self._pivots[1],
+                self.points.codes, self.points.scales, q, ef, n, max_iters,
+                rr, self.serve_expand,
+            )
+        elif pack_fresh and piv_fresh:
             d, i = _ann_seeded_jit(
                 self._packed0, self._pivots[0], self._pivots[1],
                 q, ef, n, max_iters, self.serve_expand,
@@ -368,7 +397,15 @@ class HNSW:
             )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
-    def finalize(self, expand: int = 1, pivots: int = 0, packed: bool = True) -> "HNSW":
+    def finalize(
+        self,
+        expand: int = 1,
+        pivots: int = 0,
+        packed: bool = True,
+        pq_m: int = 0,
+        pq_iters: int = 12,
+        pq_rerank: int = 0,
+    ) -> "HNSW":
         """Build the packed-neighbor serving layout for layer 0.
 
         Trades ~``cap*(dim+12)`` bytes per point of extra HBM for a
@@ -391,9 +428,45 @@ class HNSW:
         replacing the serial upper-layer descent. Recall per ef is
         typically equal or better at materially fewer beam iterations.
 
+        ``pq_m`` > 0 (requires ``pivots`` > 0) enables the PQ-coded
+        serving mode instead: a product quantizer with ``pq_m``
+        bytes/point is trained on the stored points (deterministic,
+        seed-fixed — safe to re-run after :meth:`load`), layer 0 is
+        packed as ``cap*(pq_m+4)`` bytes/point of neighbor (code, id)
+        rows, and queries run ADC beams with an exact re-score of the
+        top ``pq_rerank`` (default ``max(4k, ef/2)``) survivors
+        (``search.ann_search_pq``). This replaces the exact packed table
+        (``packed`` is forced off) — it is the beyond-HBM memory axis:
+        at M=24/d=96/pq_m=24 the serving pack shrinks 3.0× and the beam
+        fetches no vectors at all.
+
         Re-run after inserts (a stale pack is detected and bypassed,
         never served). Returns self."""
         self.flush()
+        if pq_m > 0:
+            if pivots <= 0:
+                raise ValueError("pq_m > 0 requires pivots > 0 "
+                                 "(PQ serving seeds from the pivot table)")
+            if self.params.dim % pq_m != 0:
+                raise ValueError(f"pq_m {pq_m} must divide dim "
+                                 f"{self.params.dim}")
+            packed = False  # the PQ pack replaces the exact-code pack
+            if len(self) > 0:
+                from ..ops.pq import encode_pq, train_pq
+
+                x = dequantize(self.points.codes[: len(self)],
+                               self.points.scales[: len(self)])
+                cb = train_pq(x, pq_m, iters=pq_iters, seed=0)
+                pq_codes = encode_pq(x, cb)
+                packed_pq = pack_layer_pq(
+                    self.graph.get_layer(0)[: len(self)], pq_codes
+                )
+                self._pq = (cb, pq_codes, packed_pq)
+                self._pq_n = len(self)
+            self.pq_rerank = int(pq_rerank)
+        else:
+            self._pq = None
+            self._pq_n = -1
         if not packed:
             # memory-honest mode (``packed=False``): drop/skip the
             # cap*(d+12) B/point packed rows; with ``pivots`` > 0 queries

@@ -36,54 +36,11 @@ import numpy as np
 
 from ..errors import DimensionMismatch
 from ..ops.distance import normalize
+from ..ops.pq import pq_encode as _pq_encode
+from ..ops.pq import pq_train as _pq_train
 from ..ops.quant import dequantize, quantize
 from ..ops.topk import INF, PAD_ID, sort_dist_id
 from .ivf import _assign_jit, _kmeans
-
-
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _pq_train(res: jnp.ndarray, init_idx: jnp.ndarray, iters: int):
-    """Train all m_pq sub-codebooks at once: res [N, m_pq, ds] residuals,
-    init_idx i32[256] initial rows. Returns codebooks f32[m_pq, 256, ds].
-    vmapped batched Lloyd's — every step is an MXU matmul batch."""
-
-    def one(sub):  # [N, ds] -> [256, ds]
-        cent = sub[init_idx]
-
-        def step(c, _):
-            d2 = (
-                jnp.sum(sub * sub, 1, keepdims=True)
-                - 2.0 * jnp.dot(sub, c.T, preferred_element_type=jnp.float32)
-                + jnp.sum(c * c, 1)[None, :]
-            )
-            a = jnp.argmin(d2, 1)
-            sums = jnp.zeros_like(c).at[a].add(sub)
-            counts = jnp.zeros((c.shape[0],), jnp.float32).at[a].add(1.0)
-            return (
-                jnp.where(counts[:, None] > 0,
-                          sums / jnp.maximum(counts, 1.0)[:, None], c),
-                None,
-            )
-
-        cent, _ = jax.lax.scan(step, cent, None, length=iters)
-        return cent
-
-    return jax.vmap(one, in_axes=1, out_axes=0)(res)
-
-
-@jax.jit
-def _pq_encode(res: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
-    """res [N, m_pq, ds] -> codes u8[N, m_pq] (nearest codebook entry)."""
-
-    def one(sub, cb):  # [N, ds], [256, ds]
-        d2 = (
-            jnp.sum(sub * sub, 1, keepdims=True)
-            - 2.0 * jnp.dot(sub, cb.T, preferred_element_type=jnp.float32)
-            + jnp.sum(cb * cb, 1)[None, :]
-        )
-        return jnp.argmin(d2, 1).astype(jnp.uint8)
-
-    return jax.vmap(one, in_axes=(1, 0), out_axes=1)(res, codebooks)
 
 
 @functools.partial(jax.jit, static_argnames=("n_probe", "k"))

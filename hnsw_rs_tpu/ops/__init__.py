@@ -12,9 +12,14 @@ from .distance import (
     pairwise_l2sq_mxu,
     point_normsq,
 )
+from .pq import adc_score, encode_pq, pq_lut, train_pq
 from .topk import INF, PAD_ID, SENTINEL, dedup_ids, mask_invalid, sort_dist_id, topk_dist_id
 
 __all__ = [
+    "adc_score",
+    "encode_pq",
+    "pq_lut",
+    "train_pq",
     "BITS",
     "LEVELS",
     "INF",

@@ -1,0 +1,125 @@
+"""Product-quantization primitives shared by the IVF-PQ family and the
+PQ-coded HNSW serving mode.
+
+PQ splits a d-dim vector into ``m_pq`` contiguous subvectors and stores
+one byte per subspace (the id of the nearest entry in that subspace's
+256-entry codebook) — ``m_pq`` bytes/point against the reference's
+1 byte/DIM ceiling (``vectors/src/quant.rs``). Asymmetric distance
+computation (ADC) then needs only a per-query lookup table
+``LUT[m, v] = ||q_m - cb[m, v]||²`` (one batched MXU matmul against the
+codebooks) and a table-take along the code axis — no per-candidate
+vector fetch at all, which is what lets graph beams and IVF scans run
+over collections whose exact codes would not fit HBM.
+
+TPU-native shapes throughout: codebooks are one dense
+``f32[m_pq, 256, ds]`` array (all subspaces train vmapped at once, every
+Lloyd step a batched MXU matmul), codes are ``u8[N, m_pq]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pq_train", "pq_encode", "train_pq", "encode_pq", "pq_lut",
+           "adc_score"]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def pq_train(res: jnp.ndarray, init_idx: jnp.ndarray, iters: int):
+    """Train all m_pq sub-codebooks at once: ``res`` [N, m_pq, ds]
+    (sub-)vectors, ``init_idx`` i32[256] initial rows. Returns codebooks
+    f32[m_pq, 256, ds]. vmapped batched Lloyd's — every step is an MXU
+    matmul batch. Empty cells keep their previous centroid."""
+
+    def one(sub):  # [N, ds] -> [256, ds]
+        cent = sub[init_idx]
+
+        def step(c, _):
+            d2 = (
+                jnp.sum(sub * sub, 1, keepdims=True)
+                - 2.0 * jnp.dot(sub, c.T, preferred_element_type=jnp.float32)
+                + jnp.sum(c * c, 1)[None, :]
+            )
+            a = jnp.argmin(d2, 1)
+            sums = jnp.zeros_like(c).at[a].add(sub)
+            counts = jnp.zeros((c.shape[0],), jnp.float32).at[a].add(1.0)
+            return (
+                jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts, 1.0)[:, None], c),
+                None,
+            )
+
+        cent, _ = jax.lax.scan(step, cent, None, length=iters)
+        return cent
+
+    return jax.vmap(one, in_axes=1, out_axes=0)(res)
+
+
+@jax.jit
+def pq_encode(res: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """``res`` [N, m_pq, ds] -> codes u8[N, m_pq] (nearest codebook
+    entry per subspace; ties -> lowest id, deterministic)."""
+
+    def one(sub, cb):  # [N, ds], [256, ds]
+        d2 = (
+            jnp.sum(sub * sub, 1, keepdims=True)
+            - 2.0 * jnp.dot(sub, cb.T, preferred_element_type=jnp.float32)
+            + jnp.sum(cb * cb, 1)[None, :]
+        )
+        return jnp.argmin(d2, 1).astype(jnp.uint8)
+
+    return jax.vmap(one, in_axes=(1, 0), out_axes=1)(res, codebooks)
+
+
+def train_pq(
+    x: jnp.ndarray, m_pq: int, iters: int = 12, seed: int = 0
+) -> jnp.ndarray:
+    """Convenience wrapper over :func:`pq_train` for flat [N, d] input:
+    reshapes into subspaces and draws a deterministic 256-row init."""
+    n, d = x.shape
+    if d % m_pq != 0:
+        raise ValueError(f"m_pq {m_pq} must divide dim {d}")
+    rng = np.random.default_rng(seed)
+    init = rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
+    if n < 256:  # tiny collections: repeat rows to fill the codebook
+        init = np.concatenate([init, np.zeros(256 - n, np.int32)])
+    res = jnp.asarray(x, jnp.float32).reshape(n, m_pq, d // m_pq)
+    return pq_train(res, jnp.asarray(init), iters)
+
+
+def encode_pq(x: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """Flat [N, d] -> u8[N, m_pq] against :func:`train_pq` codebooks."""
+    n, d = x.shape
+    m_pq = codebooks.shape[0]
+    return pq_encode(
+        jnp.asarray(x, jnp.float32).reshape(n, m_pq, d // m_pq), codebooks
+    )
+
+
+def pq_lut(q: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """Per-query ADC lookup table ``f32[B, m_pq, 256]``:
+    ``LUT[b, m, v] = ||q_m - cb[m, v]||²`` via one batched MXU matmul
+    (the cross term) — every subsequent candidate scoring is a pure
+    table take, no vector fetches."""
+    b, d = q.shape
+    m_pq, nv, ds = codebooks.shape
+    qs = jnp.asarray(q, jnp.float32).reshape(b, m_pq, ds)
+    cross = jnp.einsum(
+        "bms,mvs->bmv", qs, codebooks, preferred_element_type=jnp.float32
+    )
+    cbn = jnp.sum(codebooks * codebooks, -1)  # [m_pq, 256]
+    return jnp.sum(qs * qs, -1)[..., None] - 2.0 * cross + cbn[None]
+
+
+def adc_score(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """Approximate squared L2 of candidates against their query's LUT:
+    ``lut`` f32[B, m_pq, 256], ``codes`` u8[B, C, m_pq] -> f32[B, C]
+    (``d2 ≈ Σ_m LUT[m, code_m]``, clamped at 0 — each term is a true
+    subspace distance so the sum is nonnegative up to rounding)."""
+    idx = codes.astype(jnp.int32).transpose(0, 2, 1)  # [B, m_pq, C]
+    got = jnp.take_along_axis(lut, idx, axis=2)  # [B, m_pq, C]
+    return jnp.maximum(jnp.sum(got, axis=1), 0.0)

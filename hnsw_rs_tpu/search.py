@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.distance import l2sq
+from .ops.pq import adc_score, pq_lut
 from .ops.quant import dequantize
 from .ops.topk import (
     INF,
@@ -181,10 +182,16 @@ def _beam_loop(
     forbid: jnp.ndarray | None = None,
     ring_size: int = 0,
     expand_e: int = 1,
+    scored: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Shared flagged-beam loop; ``fetch(cand_ids [B]) -> (nbrs [B, cap],
     vecs f32[B, cap, d])`` supplies each expanded node's neighbor ids and
     their dequantized vectors (plain gather or packed-row layouts).
+
+    ``scored=True`` switches the fetch contract to ``fetch(cand_ids [B])
+    -> (nbrs [B, cap], d2 f32[B, cap])`` — the candidates arrive already
+    scored (the PQ/ADC layouts, where no candidate vector exists to
+    recompute against) and the loop's own ``l2sq`` is skipped.
 
     ``expand_e`` > 1 expands the E best unexpanded entries per iteration
     (``fetch`` then sees [B*E] and returns [B*E, cap] shapes). E=1 is the
@@ -222,7 +229,7 @@ def _beam_loop(
         hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
         beam_exp = jnp.logical_or(beam_exp, hit)
 
-        nbrs, vecs = fetch(jnp.clip(cand, 0, n - 1))  # [B, cap], [B, cap, d]
+        nbrs, pay = fetch(jnp.clip(cand, 0, n - 1))  # [B, cap], [B, cap(, d)]
         valid = jnp.logical_and(nbrs >= 0, active[:, None])
         if forbid is not None:
             valid = jnp.logical_and(valid, nbrs != forbid[:, None])
@@ -236,7 +243,7 @@ def _beam_loop(
             [jnp.where(new, nbrs, PAD_ID), ring[:, : ring_size - cap]], axis=1
         )
 
-        nd2 = l2sq(q[:, None, :], vecs)
+        nd2 = pay if scored else l2sq(q[:, None, :], pay)
         nd2 = jnp.where(new, nd2, INF)
         nids = jnp.where(new, nbrs, PAD_ID)
 
@@ -276,9 +283,9 @@ def _beam_loop(
             beam_exp, jnp.any(slot_iota[:, None, :] == pos_e[:, :, None], axis=1)
         )
 
-        nbrs, vecs = fetch(jnp.clip(cand, 0, n - 1).reshape(-1))
+        nbrs, pay = fetch(jnp.clip(cand, 0, n - 1).reshape(-1))
         nbrs = nbrs.reshape(b, e * cap)
-        vecs = vecs.reshape(b, e * cap, -1)
+        pay = pay.reshape(b, e * cap) if scored else pay.reshape(b, e * cap, -1)
         valid = jnp.logical_and(
             nbrs >= 0,
             jnp.broadcast_to(act_e[:, :, None], (b, e, cap)).reshape(b, e * cap),
@@ -296,7 +303,7 @@ def _beam_loop(
             axis=1,
         )
 
-        nd2 = l2sq(q[:, None, :], vecs)
+        nd2 = pay if scored else l2sq(q[:, None, :], pay)
         nd2 = jnp.where(new, nd2, INF)
         nids = jnp.where(new, nbrs, PAD_ID)
         # the E expanded rows may share neighbors — dedup before the merge
@@ -498,6 +505,141 @@ def search_layer_packed(
         fetch, n, cap, q, entry_d2, entry_ids, ef, max_iters, forbid,
         ring_size, expand_e,
     )
+
+
+def pack_layer_pq(adj: jnp.ndarray, pq_codes: jnp.ndarray) -> jnp.ndarray:
+    """PQ variant of :func:`pack_layer`: one fused u8 row per node holding
+    its neighbors' PQ codes and ids — ``cap*(m_pq+4)`` bytes/point instead
+    of ``cap*(d+12)``, the layout that lets packed-row serving reach
+    collections whose exact-code pack would not fit HBM (e.g. at
+    M=24/d=96/m_pq=24: 1,728 B/point vs 5,184). Same chunked assembly and
+    exact-size output as :func:`pack_layer`; row layout ``pqcodes
+    u8[cap*m_pq] | ids i32-bytes[cap*4]``. Distances are ADC lookups
+    against the per-query LUT (:func:`~hnsw_rs_tpu.ops.pq.pq_lut`), so
+    this layout carries no scales at all."""
+    n, cap = adj.shape
+    m_pq = pq_codes.shape[1]
+    wrow = cap * (m_pq + 4)
+    if n == 0:
+        return jnp.zeros((0, wrow), jnp.uint8)
+    ch = max(1, min(n, (64 << 20) // max(wrow, 1)))  # ~64 MB chunks
+    nch = -(-n // ch)
+    offs = jnp.minimum(jnp.arange(nch) * ch, n - ch)
+
+    def step(out, off):
+        a = jax.lax.dynamic_slice_in_dim(adj, off, ch, 0)
+        safe = jnp.where(a >= 0, a, 0)
+        pk = pq_codes[safe].reshape(ch, cap * m_pq)
+        id_bytes = jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(
+            ch, cap * 4
+        )
+        row = jnp.concatenate([pk, id_bytes], axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(out, row, off, 0), None
+
+    out0 = jnp.zeros((n, wrow), jnp.uint8)
+    out, _ = jax.lax.scan(step, out0, offs)
+    return out
+
+
+def unpack_rows_pq(
+    row: jnp.ndarray, cap: int, m_pq: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode :func:`pack_layer_pq` rows (any leading shape) into
+    (neighbor ids [..., cap], PQ codes u8[..., cap, m_pq]) — pure
+    in-register bitcasts, no gathers."""
+    lead = row.shape[:-1]
+    codes = row[..., : cap * m_pq].reshape(*lead, cap, m_pq)
+    nbrs = jax.lax.bitcast_convert_type(
+        row[..., cap * m_pq :].reshape(*lead, cap, 4), jnp.int32
+    )  # [..., cap]
+    return nbrs, codes
+
+
+def search_layer_pq(
+    packed: jnp.ndarray,
+    lut: jnp.ndarray,
+    m_pq: int,
+    entry_d2: jnp.ndarray,
+    entry_ids: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    ring_size: int = 0,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`search_layer` over the PQ-packed layout: traversal order and
+    termination are the exact beam semantics, but candidate distances are
+    ADC approximations read from ``lut`` (f32[B, m_pq, 256], one per
+    query) — no candidate vector is ever fetched. Recall is therefore
+    gated by tests/benchmarks rather than oracle-pinned; the final top-k
+    is exact-rescored by the caller (:func:`ann_search_pq`)."""
+    n, w = packed.shape
+    cap = w // (m_pq + 4)
+    b = lut.shape[0]
+
+    def fetch(cand_safe):  # [R] with R = b*e
+        row = packed[cand_safe]  # the ONLY gather
+        nbrs, codes = unpack_rows_pq(row, cap, m_pq)  # [R, cap(, m_pq)]
+        d2 = adc_score(lut, codes.reshape(b, -1, m_pq))  # [b, R/b*cap]
+        return nbrs, d2.reshape(*nbrs.shape)
+
+    # q placeholder: a scored loop never computes l2sq, it only reads the
+    # batch size off the array's leading axis
+    return _beam_loop(
+        fetch, n, cap, lut[:, :, 0], entry_d2, entry_ids, ef, max_iters,
+        None, ring_size, expand_e, scored=True,
+    )
+
+
+def ann_search_pq(
+    packed0: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    pq_codes: jnp.ndarray,
+    pivot_ids: jnp.ndarray,
+    pivot_vecs: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+    rerank: int,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pivot-seeded serving over the PQ-packed layout — the >HBM-scale
+    memory axis of graph serving (the packed exact-code layout costs
+    ``cap*(d+12)`` B/point; this one ``cap*(m_pq+4)`` + ``m_pq`` for the
+    seed-score table + the exact codes kept for reranking).
+
+    Pipeline: pivot seed selection (exact MXU matmul, as
+    :func:`ann_search_seeded`), seeds RE-scored with ADC so the beam
+    compares one consistent distance space, ADC beam over the PQ rows,
+    then an exact re-score of the top ``max(k, rerank)`` survivors
+    against the u8 code table (one narrow gather per survivor — the only
+    exact-code access on the whole path). No reference analogue
+    (``vectors/src/quant.rs`` stops at 1 byte/dim); recall is gated by
+    tests/test_pq_serving.py and benchmarks."""
+    lut = pq_lut(q, codebooks)  # [B, m_pq, 256]
+    # seed SELECTION uses the exact pivot table (small, dense); seed
+    # SCORES entering the beam are ADC so eviction decisions compare
+    # like against like
+    _, e_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
+    safe = jnp.clip(jnp.where(e_ids == PAD_ID, 0, e_ids), 0,
+                    pq_codes.shape[0] - 1)
+    e_d2 = adc_score(lut, pq_codes[safe])
+    e_d2 = jnp.where(e_ids == PAD_ID, INF, e_d2)
+    m_pq = codebooks.shape[0]
+    beam_d2, beam_ids = search_layer_pq(
+        packed0, lut, m_pq, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+    )
+    r = min(max(k, rerank), beam_ids.shape[1])
+    cand = beam_ids[:, :r]
+    csafe = jnp.clip(jnp.where(cand == PAD_ID, 0, cand), 0,
+                     codes.shape[0] - 1)
+    vecs = dequantize(codes[csafe], scales[csafe])  # [B, r, d]
+    d2 = l2sq(q[:, None, :], vecs)
+    d2 = jnp.where(cand == PAD_ID, INF, d2)
+    sd, si = sort_dist_id(d2, cand)
+    return jnp.sqrt(sd[:, :k]), si[:, :k]
 
 
 def ann_search_seeded(
