@@ -9,6 +9,8 @@ Modes:
                the memory-honest mode, ~2-3x raw index memory
   packed     — packed layer-0 rows, hierarchical descent
   packed+piv — packed rows + pivot seeds (the headline mode)
+  pq+piv     — PQ-packed rows + ADC beam + exact rerank
+               (finalize(pq_m=24, ...)): the beyond-HBM memory mode
 
 Writes benchmarks/SERVING_MEMORY.json. Reuses bench.py's .bench_cache
 index. Run on the real TPU: python benchmarks/bench_serving_memory.py
@@ -38,6 +40,7 @@ def main() -> None:
     from hnsw_rs_tpu.models.hnsw import (
         _ann_jit,
         _ann_packed_jit,
+        _ann_pq_jit,
         _ann_seeded_jit,
         _ann_seeded_plain_jit,
     )
@@ -96,10 +99,14 @@ def main() -> None:
     big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
     qbig = dequantize(*quantize(jnp.asarray(big)))
 
-    def measure(name, run, bytes_total, cands):
+    def measure(name, fn, arrs, bytes_total, cands):
+        # fn(arrs, q, ef, mi) -> (d, ids); arrs is a tuple of device
+        # arrays passed as jit ARGUMENTS (closure capture bakes them into
+        # the HLO as constants and the dev tunnel's remote compiler
+        # rejects multi-GB request bodies — DEVNOTES HTTP 413)
         chosen = None
         for ef, mi in cands:
-            _, ann = run(q1k, ef, mi)
+            _, ann = fn(arrs, q1k, ef, mi)
             rec = float(np.mean([
                 len(set(a) & t) / K for a, t in zip(np.asarray(ann), truth_sets)
             ]))
@@ -111,15 +118,15 @@ def main() -> None:
         ef, mi, rec = chosen
 
         @functools.partial(jax.jit, static_argnames=("ef", "mi"))
-        def search_sum(q, ef, mi):
-            d, i = run(q, ef, mi)
+        def search_sum(arrs, q, ef, mi):
+            d, i = fn(arrs, q, ef, mi)
             return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
-        int(search_sum(qbig, ef, mi))
+        int(search_sum(arrs, qbig, ef, mi))
         t0 = time.time()
         iters = 0
         while time.time() - t0 < 4.0 or iters < 3:
-            int(search_sum(qbig, ef, mi))
+            int(search_sum(arrs, qbig, ef, mi))
             iters += 1
         qps = batch * iters / (time.time() - t0)
         row = {
@@ -143,41 +150,68 @@ def main() -> None:
     rows = [
         measure(
             "raw",
-            lambda q, ef, mi: _ann_jit(adjs, codes, scales, q, ep, ef, K, mi),
+            lambda a, q, ef, mi: _ann_jit(a[0], a[1], a[2], q, a[3], ef, K, mi),
+            (adjs, codes, scales, ep),
             b_codes + b_adj,
             hier_cands,
         ),
         measure(
             "f32",
-            lambda q, ef, mi: _ann_jit(adjs, f32, scales, q, ep, ef, K, mi),
+            lambda a, q, ef, mi: _ann_jit(a[0], a[1], a[2], q, a[3], ef, K, mi),
+            (adjs, f32, scales, ep),
             b_codes + b_adj + b_f32,
             hier_cands,
         ),
         measure(
             "seed-plain",
-            lambda q, ef, mi: _ann_seeded_plain_jit(
-                adj0, f32, scales, pivot_ids, pivot_vecs, q, ef, K, mi
+            lambda a, q, ef, mi: _ann_seeded_plain_jit(
+                a[0], a[1], a[2], a[3], a[4], q, ef, K, mi
             ),
+            (adj0, f32, scales, pivot_ids, pivot_vecs),
             b_codes + b_adj + b_f32 + b_piv,
             seed_cands,
         ),
         measure(
             "packed",
-            lambda q, ef, mi: _ann_packed_jit(
-                adjs[1:], packed0, codes, scales, q, ep, ef, K, mi
+            lambda a, q, ef, mi: _ann_packed_jit(
+                a[0], a[1], a[2], a[3], q, a[4], ef, K, mi
             ),
+            (adjs[1:], packed0, codes, scales, ep),
             b_codes + b_adj + b_packed,
             hier_cands,
         ),
         measure(
             "packed+piv",
-            lambda q, ef, mi: _ann_seeded_jit(
-                packed0, pivot_ids, pivot_vecs, q, ef, K, mi
+            lambda a, q, ef, mi: _ann_seeded_jit(
+                a[0], a[1], a[2], q, ef, K, mi
             ),
+            (packed0, pivot_ids, pivot_vecs),
             b_codes + b_adj + b_packed + b_piv,
             seed_cands,
         ),
     ]
+
+    # PQ-coded mode replaces the exact pack — free it first (both packs
+    # cannot be HBM-resident at 1M: 5.2 GB + 1.7 GB + base tables > HBM)
+    del packed0
+    index._packed0 = None
+    index._packed_n = -1
+    index.finalize(pivots=PIVOTS, pq_m=24)
+    cb, pq_codes, packed_pq = index._pq
+    pivot_ids, pivot_vecs = index._pivots
+    b_pq = int(packed_pq.size + pq_codes.size + cb.size * 4)
+    rows.append(
+        measure(
+            "pq24+piv",
+            lambda a, q, ef, mi: _ann_pq_jit(
+                a[0], a[1], a[2], a[3], a[4], a[5], a[6], q, ef, K, mi,
+                4 * K,
+            ),
+            (packed_pq, cb, pq_codes, pivot_ids, pivot_vecs, codes, scales),
+            b_codes + b_adj + b_pq + b_piv,
+            seed_cands + [(256, 280)],
+        )
+    )
     out = {
         "n": N, "d": D, "m": M, "ef_cons": EF_CONS, "k": K,
         "pivots": int(pivot_ids.shape[0]),

@@ -129,6 +129,9 @@ class ANNBenchmarksHNSW(_Base):
             total += idx._pivots[1].size * 4 + idx._pivots[0].size * 4
         if idx._f32_table is not None:
             total += n * d * 4
+        if idx._pq is not None:
+            cb, pq_codes, packed_pq = idx._pq
+            total += packed_pq.size + pq_codes.size + cb.size * 4
         return total // 1024  # harness expects kB
 
 

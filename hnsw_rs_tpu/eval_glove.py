@@ -81,8 +81,10 @@ def main(argv=None) -> int:
     truth = brute_force_nns(
         queries, index.points.codes, index.points.scales, args.k
     )
-    if args.expand > 1 or args.pivots > 0:  # packed/seeded serving
-        index.finalize(expand=args.expand, pivots=args.pivots)
+    if args.expand > 1 or args.pivots > 0 or args.pq_m > 0:
+        # packed/seeded/PQ serving
+        index.finalize(expand=args.expand, pivots=args.pivots,
+                       pq_m=args.pq_m)
     print(f"\n ef    recall@{args.k}   QPS")
     batch = args.batch or len(queries)
     reps = max(1, -(-batch // len(queries)))

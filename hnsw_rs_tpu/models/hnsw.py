@@ -454,15 +454,35 @@ class HNSW:
             if len(self) > 0:
                 from ..ops.pq import encode_pq, train_pq
 
-                x = dequantize(self.points.codes[: len(self)],
-                               self.points.scales[: len(self)])
-                cb = train_pq(x, pq_m, iters=pq_iters, seed=0)
-                pq_codes = encode_pq(x, cb)
+                n = len(self)
+                x = dequantize(self.points.codes[:n],
+                               self.points.scales[:n])
+                # train on a deterministic even subsample: the batched
+                # Lloyd step materializes a [Ntrain, m_pq, 256] distance
+                # temp (vmapped subspaces), which at full million scale
+                # is tens of GB; 64k samples train codebooks to the same
+                # distortion (standard PQ practice)
+                ts = min(n, 65536)
+                if ts < n:
+                    pick = jnp.asarray(
+                        np.linspace(0, n - 1, ts).round().astype(np.int64)
+                    )
+                    cb = train_pq(x[pick], pq_m, iters=pq_iters, seed=0)
+                else:
+                    cb = train_pq(x, pq_m, iters=pq_iters, seed=0)
+                # encode everything in chunks for the same temp reason
+                ch = 1 << 16
+                pq_codes = (
+                    encode_pq(x, cb) if n <= ch else jnp.concatenate(
+                        [encode_pq(x[s : s + ch], cb)
+                         for s in range(0, n, ch)]
+                    )
+                )
                 packed_pq = pack_layer_pq(
-                    self.graph.get_layer(0)[: len(self)], pq_codes
+                    self.graph.get_layer(0)[:n], pq_codes
                 )
                 self._pq = (cb, pq_codes, packed_pq)
-                self._pq_n = len(self)
+                self._pq_n = n
             self.pq_rerank = int(pq_rerank)
         else:
             self._pq = None

@@ -49,6 +49,10 @@ def eval_parser() -> argparse.ArgumentParser:
                    help="enable pivot-seeded serving with this many "
                    "upper-layer pivots (one MXU matmul replaces the "
                    "greedy descent; the million-scale headline path)")
+    p.add_argument("--pq-m", type=int, default=0,
+                   help="enable PQ-coded serving with this many bytes/"
+                   "point (requires --pivots; ADC beams + exact rerank "
+                   "— the beyond-HBM memory mode)")
     p.add_argument("--k", type=int, default=10, help="neighbors per query")
     p.add_argument("--batch", type=int, default=0,
                    help="query batch size for the QPS measurement "
