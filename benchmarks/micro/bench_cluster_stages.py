@@ -1,0 +1,166 @@
+"""Per-phase device timings for the cluster-bulk layer-0 builder.
+
+The build progress bar ticks at DISPATCH time (the select loop enqueues
+async work), so end-to-end rates from the bar are meaningless through
+the dev tunnel — the first post-build scalar fetch drains the whole
+backlog (observed as a ">40 min hang" in the round-3 1M run). This
+bench replays ``build_cluster.build_layer0_clustered`` phase by phase
+with an on-device scalar checksum after each phase (and every
+``--sync-every`` batches inside the loops), so each number is real
+device wall time.
+
+    python benchmarks/micro/bench_cluster_stages.py --n 1000000 [--quick]
+"""
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from hnsw_rs_tpu.build_cluster import (  # noqa: E402
+    _cluster_sel_step, _global_merge, _member_tables, _orphan_repair,
+    _own_rows_step, _recount_indeg, kmeans,
+)
+from hnsw_rs_tpu.graphs import LayeredGraph  # noqa: E402
+from hnsw_rs_tpu.params import Params  # noqa: E402
+from hnsw_rs_tpu.store import PointStore  # noqa: E402
+from hnsw_rs_tpu.utils.datasets import synthetic_clustered  # noqa: E402
+
+p = argparse.ArgumentParser()
+p.add_argument("--n", type=int, default=1_000_000)
+p.add_argument("--m", type=int, default=24)
+p.add_argument("--ppc", type=int, default=256)
+p.add_argument("--fanout", type=int, default=12)
+p.add_argument("--pool-p", type=int, default=512)
+p.add_argument("--batch-queries", type=int, default=4096)
+p.add_argument("--kmeans-iters", type=int, default=4)
+p.add_argument("--sync-every", type=int, default=64)
+p.add_argument("--pool-approx", action="store_true")
+p.add_argument("--quick", action="store_true", help="n=100k")
+a = p.parse_args()
+if a.quick:
+    a.n = 100_000
+
+D = 96
+ds = synthetic_clustered(a.n, D, n_queries=16, seed=42)
+store = PointStore.from_vectors(ds.train, ml=Params(m=a.m, dim=D).ml)
+store.levels[:] = 0  # layer-0 only: upper layers are the wave path's job
+n = len(store)
+codes, scales = store.codes[:n], store.scales[:n]
+params = Params(m=a.m, dim=D)
+graph = LayeredGraph(a.m, n)
+graph.ensure_level(0)
+
+
+def sync(x):
+    return int(jnp.sum(jnp.abs(jnp.ravel(x)[:16].astype(jnp.float32))))
+
+
+t0 = time.time()
+k = max(2, min(n, -(-n // a.ppc)))
+cent, assign = kmeans(codes, scales, k, iters=a.kmeans_iters)
+sync(cent); sync(assign)
+t_km = time.time() - t0
+print(f"kmeans (k={k}, iters={a.kmeans_iters}): {t_km:.1f}s", flush=True)
+
+t0 = time.time()
+assign_np = np.asarray(assign)
+t_fetch = time.time() - t0
+smax = max(8, int(np.ceil(n / k * 1.75 / 8)) * 8)
+table, overflow = _member_tables(assign_np, k, smax)
+t_mt = time.time() - t0
+print(f"member tables (smax={smax}, overflow={overflow}): {t_mt:.1f}s"
+      f" (assign fetch {t_fetch:.1f}s)", flush=True)
+
+t0 = time.time()
+c2 = jnp.sum(cent * cent, axis=1)
+cd2 = jnp.maximum(
+    c2[:, None] + c2[None, :]
+    - 2.0 * jnp.dot(cent, cent.T, preferred_element_type=jnp.float32), 0.0)
+c_fan = min(a.fanout, k)
+_, nbrcl = jax.lax.top_k(-cd2, c_fan)
+nbrcl = nbrcl.astype(jnp.int32)
+sync(nbrcl)
+print(f"cluster nbr top-k: {time.time()-t0:.1f}s", flush=True)
+
+ov_lists = {}
+if overflow:
+    counts = np.bincount(assign_np, minlength=k)
+    order = np.argsort(assign_np, kind="stable").astype(np.int32)
+    starts = np.searchsorted(assign_np[order], np.arange(k))
+    for c in np.flatnonzero(counts > smax):
+        s = int(starts[c])
+        ov_lists[int(c)] = order[s + smax: s + int(counts[c])]
+
+member_dev = jnp.asarray(table)
+g = max(1, a.batch_queries // smax)
+adj = graph.get_layer(0)
+indeg = graph.indeg(0)
+cap = graph.layer_cap(0)
+n_batches = -(-k // g)
+print(f"select: {n_batches} batches of g={g} clusters "
+      f"(nq/batch={g*2*smax})", flush=True)
+
+t0 = time.time()
+sels = []
+t_last, done = t0, 0
+for bi, base in enumerate(range(0, k, g)):
+    cl = np.full((g,), -1, np.int32)
+    take = min(g, k - base)
+    cl[:take] = np.arange(base, base + take, dtype=np.int32)
+    ov = np.full((g, smax), -1, np.int32)
+    for i in range(take):
+        extra = ov_lists.get(base + i)
+        if extra is not None:
+            ov[i, : min(extra.size, smax)] = extra[:smax]
+    sels.append(_cluster_sel_step(
+        codes, scales, member_dev, nbrcl,
+        jnp.asarray(cl), jnp.asarray(ov), m=a.m, pool_p=a.pool_p,
+        pool_approx=a.pool_approx,
+    ))
+    if (bi + 1) % a.sync_every == 0 or bi == n_batches - 1:
+        sync(sels[-1][2])
+        now = time.time()
+        print(f"  select batch {bi+1}/{n_batches}: "
+              f"{(bi+1-done)/(now-t_last):.2f} batch/s", flush=True)
+        t_last, done = now, bi + 1
+t_sel = time.time() - t0
+print(f"phase SELECT: {t_sel:.1f}s ({n/t_sel:.0f} vec/s)", flush=True)
+
+t0 = time.time()
+qflat = jnp.concatenate([s[0] for s in sels])
+sel_d2 = jnp.concatenate([s[1] for s in sels])
+sel_ids = jnp.concatenate([s[2] for s in sels])
+del sels
+adj, own_d2 = _own_rows_step(adj, qflat, sel_d2, sel_ids, cap=cap)
+sync(adj)
+t_own = time.time() - t0
+print(f"phase A (own rows): {t_own:.1f}s", flush=True)
+
+t0 = time.time()
+rchunk = min(65536, max(1024, 1 << (n - 1).bit_length()))
+adj = _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
+                    slots=2 * cap, rchunk=rchunk)
+sync(adj)
+t_rev = time.time() - t0
+print(f"phase B (global merge, rchunk={rchunk}): {t_rev:.1f}s", flush=True)
+
+t0 = time.time()
+indeg = _recount_indeg(adj)
+adj, indeg = _orphan_repair(adj, indeg)
+sync(indeg)
+t_fix = time.time() - t0
+print(f"indeg recount + orphan repair: {t_fix:.1f}s", flush=True)
+t_rev += t_fix
+
+total = t_km + t_mt + t_sel + t_own + t_rev
+print(f"TOTAL layer-0: {total:.1f}s = {n/total:.0f} vec/s "
+      f"(km {t_km:.0f} / tables {t_mt:.0f} / sel {t_sel:.0f} / "
+      f"own {t_own:.0f} / rev {t_rev:.0f})", flush=True)

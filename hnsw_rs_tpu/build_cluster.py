@@ -15,10 +15,12 @@ dataset itself is: this module replaces the per-wave beam searches with
    member tables are disjoint, so pools carry no duplicates and need no
    dedup sort — the wave path's measured pool-build wall);
 3. the SAME oracle-pinned Algorithm-4 accept chain
-   (``heuristic._accept_from_pool``) and the SAME apply/repair machinery
-   (``build._apply_wave_impl`` with its in-degree protection + orphan
-   repair) as the wave builder, one fused donated dispatch per cluster
-   group.
+   (``heuristic._accept_from_pool``) as the wave builder for neighbor
+   selection, then a GLOBAL apply: one pass writing every own row, one
+   sorted sweep resolving all reverse edges (:func:`_global_merge`), one
+   in-degree recount and one orphan-repair pass — instead of replaying
+   the wave apply per batch (435 O(N) passes at 1M, the measured phase-B
+   wall of the first cluster-builder cut).
 
 Graph SEMANTICS differ from the wave build exactly the way any
 insertion-order change does (and cluster mates CAN select each other,
@@ -40,7 +42,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .heuristic import _accept_from_pool
-from .ops.distance import l2sq
 from .ops.quant import dequantize
 from .ops.topk import INF, PAD_ID, sort_dist_id
 
@@ -88,19 +89,56 @@ def _lloyd_iter(codes, scales, cent, chunk: int):
     return new_cent, assign.reshape(npad)[:n]
 
 
-def kmeans(codes, scales, k: int, iters: int = 4, chunk: int = 16384):
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_only(codes, scales, cent, chunk: int):
+    """Assignment against fixed centroids, chunked — no centroid-update
+    scatter-add (the measured wall of ``_lloyd_iter``: the full-N pass
+    costs ~29 s at 1M/k=3907 WITH the scatter vs ~2 s without it)."""
+    n = codes.shape[0]
+    k = cent.shape[0]
+    npad = -(-n // chunk) * chunk
+    ids = jnp.arange(npad, dtype=jnp.int32).reshape(-1, chunk)
+    half_c2 = 0.5 * jnp.sum(cent * cent, axis=1)
+
+    def step(_, idc):
+        safe = jnp.clip(idc, 0, n - 1)
+        vec = dequantize(codes[safe], scales[safe])
+        score = (
+            jnp.dot(vec, cent.T, preferred_element_type=jnp.float32)
+            - half_c2[None, :]
+        )
+        return None, jnp.argmax(score, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(step, None, ids)
+    return assign.reshape(npad)[:n]
+
+
+def kmeans(codes, scales, k: int, iters: int = 4, chunk: int = 16384,
+           train_per_cluster: int = 8):
     """Deterministic device k-means: evenly-spaced point init, ``iters``
-    Lloyd iterations. Returns (centroids f32[K, d], assign i32[N] against
-    the FINAL centroids)."""
+    Lloyd iterations over an evenly-strided TRAINING SUBSAMPLE of
+    ``~train_per_cluster * k`` points (the standard k-means recipe at
+    scale — centroid quality is statistically identical and the Lloyd
+    passes, whose centroid-update scatter-add is the measured cost, run
+    on n/8 of the data), then one scatter-free full-N assignment pass.
+    Returns (centroids f32[K, d], assign i32[N] against the FINAL
+    centroids)."""
     n = codes.shape[0]
     chunk = min(chunk, max(n, 1))
-    init = np.linspace(0, n - 1, k).round().astype(np.int32)
-    cent = dequantize(codes[jnp.asarray(init)], scales[jnp.asarray(init)])
-    assign = None
+    train_n = min(n, max(k * train_per_cluster, 4096))
+    if train_n < n:
+        sel = jnp.asarray(
+            np.linspace(0, n - 1, train_n).round().astype(np.int32)
+        )
+        tcodes, tscales = codes[sel], scales[sel]
+        tchunk = min(chunk, train_n)
+    else:
+        tcodes, tscales, tchunk = codes, scales, chunk
+    init = np.linspace(0, train_n - 1, k).round().astype(np.int32)
+    cent = dequantize(tcodes[jnp.asarray(init)], tscales[jnp.asarray(init)])
     for _ in range(max(iters, 1)):
-        cent, assign = _lloyd_iter(codes, scales, cent, chunk)
-    # one more assignment pass so assign matches the final centroids
-    _, assign = _lloyd_iter(codes, scales, cent, chunk)
+        cent, _ = _lloyd_iter(tcodes, tscales, cent, tchunk)
+    assign = _assign_only(codes, scales, cent, chunk)
     return cent, assign
 
 
@@ -130,14 +168,14 @@ def _member_tables(assign_np: np.ndarray, k: int, smax: int):
 # contain not-yet-processed points (that is what makes them better than
 # wave pools), so per-batch own-row writes would WIPE reverse edges that
 # earlier batches added to a later point's row. Phase A below writes
-# every own row (+ its in-degree contribution) in one global pass over
-# the full selection; phase B then runs the reverse-edge union-prune +
-# orphan repair per batch with own-row writes disabled
-# (``_apply_wave_impl(set_own=False)``).
+# every own row in one global pass over the full selection; phase B
+# (:func:`_global_merge`) then resolves ALL reverse edges in one sorted
+# sweep, recounts the in-degree ledger, and runs one orphan-repair pass.
 
 
 def _cluster_sel_step_impl(
     codes, scales, member, nbrcl, cl_ids, ov_ids, m: int, pool_p: int,
+    pool_approx: bool = False,
 ):
     """Heuristic-selected layer-0 neighbors for every member of
     ``cl_ids``' clusters (one dispatch). ``member`` i32[K, Smax]
@@ -195,7 +233,14 @@ def _cluster_sel_step_impl(
     # the P-th-boundary tie can differ from a full lex sort, a pool-
     # selection detail the recall gate owns)
     p = min(pool_p, cs)
-    nv, pos = jax.lax.top_k(-d2, p)  # [G, NQ, P]
+    if pool_approx and p < cs:
+        # TPU-native bitonic-free top-k (lax.approx_max_k): pool selection
+        # is already an approximation the recall gate owns, and approx_max_k
+        # is ~2.4x the exact top_k at these shapes (DEVNOTES MXU notes)
+        nv, pos = jax.lax.approx_max_k(-d2, p, recall_target=0.95)
+        pos = pos.astype(jnp.int32)
+    else:
+        nv, pos = jax.lax.top_k(-d2, p)  # [G, NQ, P]
     pool_ids = jnp.take_along_axis(cids, pos, axis=2).reshape(g * nq, p)
     pool_d2 = (-nv).reshape(g * nq, p)
     pool_d2 = jnp.where(pool_ids == PAD_ID, INF, pool_d2)
@@ -210,16 +255,21 @@ def _cluster_sel_step_impl(
 
 
 _cluster_sel_step = functools.partial(
-    jax.jit, static_argnames=("m", "pool_p"),
+    jax.jit, static_argnames=("m", "pool_p", "pool_approx"),
 )(_cluster_sel_step_impl)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cap",), donate_argnames=("adj", "indeg")
+    jax.jit, static_argnames=("cap",), donate_argnames=("adj",)
 )
-def _own_rows_step(adj, indeg, qflat, sel_d2, sel_ids, cap: int):
-    """Phase A: write EVERY point's own row + its in-degree contribution
-    in one pass over the full selection (see module note above)."""
+def _own_rows_step(adj, qflat, sel_d2, sel_ids, cap: int):
+    """Phase A: write EVERY point's own row in one pass over the full
+    selection, and scatter the selection's DISTANCES into an aligned
+    ``own_d2`` f32[N, m] table — phase B's union-prune then never has to
+    recompute a single existing-neighbor distance (the per-batch apply
+    path's exd2 gather/scan was a measured chunk of its 255 s at 1M).
+    The in-degree ledger is NOT maintained incrementally; phase B
+    recounts it from the final adjacency in one histogram pass."""
     n = adj.shape[0]
     t, m = sel_ids.shape
     ok = jnp.logical_and(sel_ids != PAD_ID, (qflat >= 0)[:, None])
@@ -230,21 +280,144 @@ def _own_rows_step(adj, indeg, qflat, sel_d2, sel_ids, cap: int):
         )
     rows = jnp.where(qflat >= 0, qflat, n)
     adj = adj.at[rows].set(own[:, :cap], mode="drop")
-    indeg = indeg.at[jnp.where(ok, sel_ids, n)].add(1, mode="drop")
-    return adj, indeg
-
-
-def _reverse_step_impl(adj, indeg, codes, scales, qflat, sel_d2, sel_ids):
-    from .build import _apply_wave_impl  # local: avoid a module cycle
-
-    return _apply_wave_impl(
-        adj, indeg, codes, scales, qflat, sel_d2, sel_ids, set_own=False
+    own_d2 = jnp.full((n, m), INF, jnp.float32).at[rows].set(
+        jnp.where(ok, sel_d2, INF), mode="drop"
     )
+    return adj, own_d2
 
 
-_reverse_step = functools.partial(
-    jax.jit, donate_argnames=("adj", "indeg")
-)(_reverse_step_impl)
+@functools.partial(
+    jax.jit, static_argnames=("slots", "rchunk"), donate_argnames=("adj",)
+)
+def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
+                  slots: int, rchunk: int):
+    """Phase B, ONE dispatch: global reverse-edge union-prune.
+
+    The round-3 per-batch apply replayed ``_apply_wave_impl`` ~435 times
+    at 1M (255 s: each pass pays an O(N) orphan sort, an exd2
+    gather-scan, and a [E, 3*cap]-wide sort for its slice of edges). The
+    cluster build owns EVERY layer-0 row, so the whole reverse pass
+    collapses into one sorted sweep:
+
+    1. flatten all (target, d2, source) reverse edges and 3-key sort
+       them — every target's incoming edges become a contiguous run,
+       BEST-first (the per-batch path dropped slot-overflow edges
+       arbitrarily; here overflow drops the d2-WORST, strictly better);
+    2. per-target run offsets via one searchsorted over the sorted keys;
+    3. rewrite rows in ``rchunk`` blocks: union own selection (distances
+       from ``own_d2`` — zero gathers) with the first ``slots`` incoming,
+       dedup mutual selections, (d2, id)-sort, keep ``cap``.
+
+    In-degree protection during pruning is dropped (the per-batch path
+    protected indeg==1 neighbors); global d2-ranked competition plus the
+    orphan-repair pass (:func:`_orphan_repair`) and the host backstop
+    (``build.repair_connectivity``) own connectivity instead — the
+    cluster build's quality contract is recall-gated, not
+    structure-pinned (module docstring)."""
+    n, cap = adj.shape
+    t, m = sel_ids.shape
+    e = t * m
+    ok = jnp.logical_and(sel_ids != PAD_ID, (qflat >= 0)[:, None])
+    tgt0 = jnp.where(ok, sel_ids, n).reshape(e)
+    src0 = jnp.broadcast_to(qflat[:, None], (t, m)).reshape(e)
+    ed20 = jnp.where(ok, sel_d2, INF).reshape(e)
+    tgt_s, ed2_s, src_s = jax.lax.sort(
+        (tgt0, ed20, src0), dimension=0, num_keys=3
+    )
+    bounds = jnp.searchsorted(tgt_s, jnp.arange(n + 1, dtype=jnp.int32))
+    starts, ends = bounds[:-1], bounds[1:]
+
+    npad = -(-n // rchunk) * rchunk
+    pad_r = npad - n
+    adj_p = jnp.concatenate(
+        [adj, jnp.full((pad_r, cap), -1, jnp.int32)]
+    ) if pad_r else adj
+    ownd_p = jnp.concatenate(
+        [own_d2, jnp.full((pad_r, m), INF, jnp.float32)]
+    ) if pad_r else own_d2
+    starts_p = jnp.concatenate(
+        [starts, jnp.zeros((pad_r,), starts.dtype)]
+    ) if pad_r else starts
+    ends_p = jnp.concatenate(
+        [ends, jnp.zeros((pad_r,), ends.dtype)]
+    ) if pad_r else ends
+
+    iota_s = jnp.arange(slots, dtype=jnp.int32)[None, :]
+
+    def chunk_body(ci, adjc):
+        base = ci * rchunk
+        ex = jax.lax.dynamic_slice(adjc, (base, 0), (rchunk, cap))
+        ex_ids = ex[:, :m]  # phase A wrote own entries into slots [0, m)
+        ex_d2 = jnp.where(
+            ex_ids >= 0,
+            jax.lax.dynamic_slice(ownd_p, (base, 0), (rchunk, m)), INF,
+        )
+        s = jax.lax.dynamic_slice(starts_p, (base,), (rchunk,))
+        cnt = jax.lax.dynamic_slice(ends_p, (base,), (rchunk,)) - s
+        off = jnp.clip(s[:, None] + iota_s, 0, e - 1 if e else 0)
+        take = iota_s < jnp.minimum(cnt, slots)[:, None]
+        inc_ids = jnp.where(take, src_s[off], -1)
+        inc_d2 = jnp.where(take, ed2_s[off], INF)
+        # mutual selection: the incoming source already sits in the own
+        # row — a second copy would burn a unique slot in every beam's
+        # top-k (measured as a flat ~0.65 recall ceiling); set-insert no-op
+        dup = jnp.any(
+            inc_ids[:, :, None] == jnp.where(ex_ids >= 0, ex_ids, n)[:, None, :],
+            axis=-1,
+        )
+        inc_ids = jnp.where(dup, -1, inc_ids)
+        inc_d2 = jnp.where(dup, INF, inc_d2)
+        uni_ids = jnp.concatenate(
+            [jnp.where(ex_ids >= 0, ex_ids, PAD_ID),
+             jnp.where(inc_ids >= 0, inc_ids, PAD_ID)], axis=1
+        )
+        uni_d2 = jnp.concatenate([ex_d2, inc_d2], axis=1)
+        uni_d2, uni_ids = sort_dist_id(uni_d2, uni_ids)
+        new = jnp.where(uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap])
+        return jax.lax.dynamic_update_slice(adjc, new, (base, 0))
+
+    adj_p = jax.lax.fori_loop(0, npad // rchunk, chunk_body, adj_p)
+    return adj_p[:n] if pad_r else adj_p
+
+
+@jax.jit
+def _recount_indeg(adj):
+    n = adj.shape[0]
+    flat = jnp.where(adj >= 0, adj, n).reshape(-1)
+    return jnp.zeros((n,), jnp.int32).at[flat].add(1, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnames=("adj", "indeg"))
+def _orphan_repair(adj, indeg):
+    """One global orphan-repair pass (the step-3 logic of
+    ``build._apply_wave_impl``, standalone): every connected node
+    (outdeg > 0) with indeg == 0 is force-written into its nearest
+    out-neighbor's worst slot, ranked to avoid slot collisions.
+    ``build.repair_connectivity`` remains the host backstop for the
+    pathological leftovers (an eviction here can itself orphan a node
+    whose only in-edge was the evicted slot)."""
+    n, cap = adj.shape
+    outdeg = jnp.sum(adj >= 0, axis=1)
+    orphan = jnp.logical_and(outdeg > 0, indeg == 0)
+    tfix = jnp.where(orphan, adj[:, 0], n)
+    all_ids = jnp.arange(n, dtype=jnp.int32)
+    tfix_s, src_s = jax.lax.sort((tfix, all_ids), dimension=0, num_keys=1)
+    ffirst = jnp.concatenate(
+        [tfix_s[:1] < n,
+         jnp.logical_and(tfix_s[1:] < n, tfix_s[1:] != tfix_s[:-1])]
+    )
+    frank = all_ids - jax.lax.cummax(jnp.where(ffirst, all_ids, -1))
+    fslot = cap - 1 - jnp.clip(frank, 0, cap - 1)
+    f_ok = jnp.logical_and(tfix_s < n, frank < cap)
+    frow = jnp.where(f_ok, tfix_s, n)
+    evicted = adj[jnp.clip(frow, 0, n - 1), fslot]
+    evicted = jnp.where(jnp.logical_and(f_ok, evicted >= 0), evicted, n)
+    indeg = indeg.at[evicted].add(-1, mode="drop")
+    adj = adj.at[frow, fslot].set(
+        jnp.where(f_ok, src_s, -1), mode="drop"
+    )
+    indeg = indeg.at[jnp.where(f_ok, src_s, n)].add(1, mode="drop")
+    return adj, indeg
 
 
 def build_layer0_clustered(
@@ -257,6 +430,7 @@ def build_layer0_clustered(
     kmeans_iters: int = 4,
     smax_headroom: float = 1.75,
     batch_queries: int = 4096,
+    pool_approx: bool = False,
     bar=None,
 ) -> None:
     """Build layer 0 of ``graph`` for ALL points in ``store`` with the
@@ -297,7 +471,7 @@ def build_layer0_clustered(
     member_dev = jnp.asarray(table)
     g = max(1, batch_queries // smax)
     adj = graph.get_layer(0)
-    indeg = graph.indeg(0)
+
     m = params.m
     cap = graph.layer_cap(0)
 
@@ -315,19 +489,26 @@ def build_layer0_clustered(
         sels.append(_cluster_sel_step(
             codes, scales, member_dev, nbrcl,
             jnp.asarray(cl), jnp.asarray(ov), m=m, pool_p=pool_p,
+            pool_approx=pool_approx,
         ))
         if bar is not None:
             bar.inc(int(np.sum(table[cl[:take]] >= 0))
                     + sum(min(v.size, smax) for c, v in ov_lists.items()
                           if base <= c < base + take))
 
-    # phase A: all own rows + their in-degree in one global pass
+    # phase A: all own rows (+ aligned selection distances) in one pass
     qflat = jnp.concatenate([s[0] for s in sels])
     sel_d2 = jnp.concatenate([s[1] for s in sels])
     sel_ids = jnp.concatenate([s[2] for s in sels])
-    adj, indeg = _own_rows_step(adj, indeg, qflat, sel_d2, sel_ids, cap=cap)
+    del sels
+    adj, own_d2 = _own_rows_step(adj, qflat, sel_d2, sel_ids, cap=cap)
 
-    # phase B: reverse-edge union-prune + orphan repair, batch by batch
-    for q_b, d_b, i_b in sels:
-        adj, indeg = _reverse_step(adj, indeg, codes, scales, q_b, d_b, i_b)
+    # phase B: global reverse-edge union-prune (one dispatch), then
+    # recount the in-degree ledger and repair orphans
+    rchunk = min(65536, max(1024, 1 << (n - 1).bit_length()))
+    adj = _global_merge(
+        adj, own_d2, qflat, sel_d2, sel_ids, slots=2 * cap, rchunk=rchunk
+    )
+    indeg = _recount_indeg(adj)
+    adj, indeg = _orphan_repair(adj, indeg)
     graph.set_layer(0, adj, indeg)
