@@ -40,6 +40,11 @@ p.add_argument("--efc", type=int, default=128)
 p.add_argument("--m", type=int, default=24)
 p.add_argument("--seeded", action="store_true")
 p.add_argument("--cluster", action="store_true", help="cluster-bulk layer-0 build")
+p.add_argument("--pool-approx", action="store_true",
+               help="cluster pool via lax.approx_max_k")
+p.add_argument("--ppc", type=int, default=256, help="cluster points-per-cluster")
+p.add_argument("--pool-p", type=int, default=512)
+p.add_argument("--batch-queries", type=int, default=4096)
 p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
 p.add_argument("--lag", type=int, default=1)
 p.add_argument("--wave-sort", action="store_true")
@@ -58,6 +63,10 @@ kw = dict(
     wave_sort=a.wave_sort,
     wave_cap=a.wave_cap,
     cluster_build=a.cluster,
+    cluster_kwargs=dict(
+        pool_approx=a.pool_approx, points_per_cluster=a.ppc,
+        pool_p=a.pool_p, batch_queries=a.batch_queries,
+    ) if a.cluster else None,
 )
 tag = a.tag or (
     f"mi={a.mi} efc={a.efc}"

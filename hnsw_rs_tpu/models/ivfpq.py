@@ -45,10 +45,13 @@ from .ivf import _assign_jit, _kmeans
 
 @functools.partial(jax.jit, static_argnames=("n_probe", "k"))
 def _ivfpq_search(
-    q, centroids, codebooks, blocks, block_ids, n_probe: int, k: int
+    q, centroids, codebooks, blocks, block_ids, rot, n_probe: int, k: int
 ):
     """ADC search. q f32[B, d]; codebooks f32[m_pq, 256, ds]; blocks
-    u8[C, Lmax, m_pq]; block_ids i32[C, Lmax].
+    u8[C, Lmax, m_pq]; block_ids i32[C, Lmax]; ``rot`` f32[d, d] OPQ
+    rotation (identity when disabled — residuals are scored in the
+    rotated space, where ``(q - c) @ R = qR - cR`` lets both operands be
+    rotated ONCE outside the probe loop).
 
     Scans one probed list per step with a running sorted top-k merge —
     the [B, m_pq, Lmax] LUT-take temp stays bounded regardless of
@@ -65,12 +68,14 @@ def _ivfpq_search(
     )
     _, probe = jax.lax.top_k(-cd2, n_probe)  # [B, p]
     cbn = jnp.sum(codebooks * codebooks, -1)  # [m_pq, 256]
+    qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+    centr = jnp.dot(centroids, rot, preferred_element_type=jnp.float32)
 
     def step(carry, pi):
         bd, bi = carry
         pl = probe[:, pi]  # [B] list index for this probe rank
         # LUT[b, m, v] for this probe: one batched MXU matmul
-        resid = q - centroids[pl]  # [B, d]
+        resid = qr - centr[pl]  # [B, d] (rotated space)
         rs = resid.reshape(b, m_pq, ds)
         cross = jnp.einsum(
             "bms,mvs->bmv", rs, codebooks,
@@ -121,6 +126,8 @@ class IVFPQIndex:
         keep_codes: bool | None = None,
         seed: int = 0,
         metric: str = "l2",
+        opq: bool = False,
+        opq_iters: int = 6,
     ):
         if metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -138,6 +145,11 @@ class IVFPQIndex:
         # True when rerank > 0)
         self.keep_codes = bool(rerank) if keep_codes is None else keep_codes
         self.seed = seed
+        # OPQ: learned orthogonal rotation applied to residuals before
+        # the subspace split (ops.pq.opq_train); identity when disabled
+        self.opq = bool(opq)
+        self.opq_iters = int(opq_iters)
+        self.rot = None  # f32[d, d]
         self.centroids = None  # f32[C, d]
         self.codebooks = None  # f32[m_pq, 256, ds]
         self.blocks = None  # u8[C, Lmax, m_pq]
@@ -167,15 +179,29 @@ class IVFPQIndex:
         cent, assign = _kmeans(x, init, c, self.kmeans_iters)
         self.centroids = cent
         self._assign = np.asarray(assign)
-        res = (x - cent[assign]).reshape(n, self.m_pq, self.dim // self.m_pq)
-        pq_init = jnp.asarray(
-            rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
-        )
-        if n < 256:  # tiny collections: repeat rows to fill the codebook
-            pq_init = jnp.concatenate(
-                [pq_init, jnp.zeros((256 - n,), jnp.int32)]
+        res_flat = x - cent[assign]  # [n, d] residuals
+        if self.opq:
+            from ..ops.pq import opq_train
+
+            self.rot, self.codebooks = opq_train(
+                res_flat, self.m_pq, pq_iters=self.pq_iters,
+                opq_iters=self.opq_iters, seed=self.seed,
             )
-        self.codebooks = _pq_train(res, pq_init, self.pq_iters)
+            res_flat = jnp.dot(
+                res_flat, self.rot, preferred_element_type=jnp.float32
+            )
+            res = res_flat.reshape(n, self.m_pq, self.dim // self.m_pq)
+        else:
+            self.rot = jnp.eye(self.dim, dtype=jnp.float32)
+            res = res_flat.reshape(n, self.m_pq, self.dim // self.m_pq)
+            pq_init = jnp.asarray(
+                rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
+            )
+            if n < 256:  # tiny collections: repeat rows to fill the codebook
+                pq_init = jnp.concatenate(
+                    [pq_init, jnp.zeros((256 - n,), jnp.int32)]
+                )
+            self.codebooks = _pq_train(res, pq_init, self.pq_iters)
         pq_codes = np.asarray(_pq_encode(res, self.codebooks))
         self._pack(pq_codes)
         if not self.keep_codes:
@@ -193,9 +219,10 @@ class IVFPQIndex:
         codes, scales = quantize(jnp.asarray(vectors))
         x = dequantize(codes, scales)
         assign = np.asarray(_assign_jit(x, self.centroids))
-        res = (x - self.centroids[jnp.asarray(assign)]).reshape(
-            n_new, self.m_pq, self.dim // self.m_pq
-        )
+        res = jnp.dot(
+            x - self.centroids[jnp.asarray(assign)], self.rot,
+            preferred_element_type=jnp.float32,
+        ).reshape(n_new, self.m_pq, self.dim // self.m_pq)
         pq_codes = np.asarray(_pq_encode(res, self.codebooks))
         start = self._n
         self.codes = (
@@ -284,7 +311,7 @@ class IVFPQIndex:
         kk = max(k, r)
         d, i = _ivfpq_search(
             q, self.centroids, self.codebooks, self.blocks, self.block_ids,
-            p, kk,
+            self.rot, p, kk,
         )
         if r > 0:
             if not self.keep_codes:
@@ -310,6 +337,7 @@ class IVFPQIndex:
                     "pq_iters": self.pq_iters, "rerank": self.rerank,
                     "keep_codes": self.keep_codes, "seed": self.seed,
                     "metric": self.metric, "n": self._n,
+                    "opq": self.opq, "opq_iters": self.opq_iters,
                 },
                 f, indent=2,
             )
@@ -321,6 +349,7 @@ class IVFPQIndex:
             assign=np.asarray(self._assign)[:n],
             centroids=np.asarray(self.centroids),
             codebooks=np.asarray(self.codebooks),
+            rot=np.asarray(self.rot),
         )
 
     @classmethod
@@ -337,7 +366,8 @@ class IVFPQIndex:
             n_probe=meta["n_probe"], kmeans_iters=meta["kmeans_iters"],
             pq_iters=meta["pq_iters"], rerank=meta["rerank"],
             keep_codes=meta["keep_codes"], seed=meta["seed"],
-            metric=meta["metric"],
+            metric=meta["metric"], opq=meta.get("opq", False),
+            opq_iters=meta.get("opq_iters", 6),
         )
         with np.load(os.path.join(path, "arrays.npz")) as z:
             codes = jnp.asarray(z["codes"])
@@ -347,11 +377,16 @@ class IVFPQIndex:
             index._assign = np.asarray(z["assign"])
             index.centroids = jnp.asarray(z["centroids"])
             index.codebooks = jnp.asarray(z["codebooks"])
+            index.rot = (
+                jnp.asarray(z["rot"]) if "rot" in z
+                else jnp.eye(index.dim, dtype=jnp.float32)
+            )
         index._n = int(meta["n"])
         if index._n:
             x = dequantize(jnp.asarray(index.codes), jnp.asarray(index.scales))
-            res = (
-                x - index.centroids[jnp.asarray(index._assign)]
+            res = jnp.dot(
+                x - index.centroids[jnp.asarray(index._assign)], index.rot,
+                preferred_element_type=jnp.float32,
             ).reshape(index._n, index.m_pq, index.dim // index.m_pq)
             index._pack(np.asarray(_pq_encode(res, index.codebooks)))
         return index

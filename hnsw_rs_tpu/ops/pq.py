@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pq_train", "pq_encode", "train_pq", "encode_pq", "pq_lut",
-           "adc_score"]
+__all__ = ["pq_train", "pq_encode", "pq_decode", "train_pq", "encode_pq",
+           "pq_lut", "adc_score", "opq_train"]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -98,6 +98,69 @@ def encode_pq(x: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
     return pq_encode(
         jnp.asarray(x, jnp.float32).reshape(n, m_pq, d // m_pq), codebooks
     )
+
+
+@jax.jit
+def pq_decode(codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """codes u8[N, m_pq] -> reconstructed f32[N, m_pq * ds] (each
+    subspace's codebook entry, concatenated)."""
+    n, m_pq = codes.shape
+    take = jax.vmap(lambda cb, c: cb[c], in_axes=(0, 1), out_axes=1)
+    return take(codebooks, codes.astype(jnp.int32)).reshape(n, -1)
+
+
+def opq_train(
+    x: jnp.ndarray,
+    m_pq: int,
+    pq_iters: int = 8,
+    opq_iters: int = 6,
+    seed: int = 0,
+    train_n: int = 131072,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """OPQ (Ge et al., CVPR'13): learn an orthogonal rotation ``R`` so the
+    PQ subspace split loses less energy, by alternating (a) PQ
+    train+encode in the rotated space with (b) the orthogonal-Procrustes
+    update ``R = U V^T`` from ``svd(x^T x_hat)``. TPU-native: every step
+    is a batched MXU matmul except one tiny [d, d] SVD.
+
+    ``x`` f32[N, d] (training sample; evenly-strided subsample of at most
+    ``train_n`` rows is used). Returns ``(R f32[d, d], codebooks
+    f32[m_pq, 256, ds])`` where encoding is ``pq_encode((x @ R).reshape
+    (n, m_pq, ds), codebooks)`` and queries build LUTs from ``q @ R``.
+
+    No reference analogue (the reference's quantization ceiling is
+    u8-per-dim, ``vectors/src/quant.rs``); this is the memory-axis
+    extension beyond it."""
+    n, d = x.shape
+    if d % m_pq != 0:
+        raise ValueError(f"m_pq {m_pq} must divide dim {d}")
+    if n > train_n:
+        sel = jnp.asarray(
+            np.linspace(0, n - 1, train_n).round().astype(np.int32)
+        )
+        x = x[sel]
+        n = train_n
+    x = jnp.asarray(x, jnp.float32)
+    rng = np.random.default_rng(seed)
+    init = rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
+    if n < 256:
+        init = np.concatenate([init, np.zeros(256 - n, np.int32)])
+    init = jnp.asarray(init)
+    rot = jnp.eye(d, dtype=jnp.float32)
+    cb = None
+    for _ in range(max(opq_iters, 1)):
+        xr = jnp.dot(x, rot, preferred_element_type=jnp.float32)
+        res = xr.reshape(n, m_pq, d // m_pq)
+        cb = pq_train(res, init, pq_iters)
+        xhat = pq_decode(pq_encode(res, cb), cb)  # [n, d] in rotated space
+        u, _, vt = jnp.linalg.svd(
+            jnp.dot(x.T, xhat, preferred_element_type=jnp.float32)
+        )
+        rot = jnp.dot(u, vt, preferred_element_type=jnp.float32)
+    # final codebooks against the final rotation
+    xr = jnp.dot(x, rot, preferred_element_type=jnp.float32)
+    cb = pq_train(xr.reshape(n, m_pq, d // m_pq), init, pq_iters)
+    return rot, cb
 
 
 def pq_lut(q: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
