@@ -219,7 +219,8 @@ class ShardedHNSW:
     # -- build -------------------------------------------------------------
 
     def insert_bulk(
-        self, vectors: np.ndarray, verbose: bool = False, concurrent: bool = True
+        self, vectors: np.ndarray, verbose: bool = False,
+        concurrent: bool = True, **build_kwargs,
     ) -> "ShardedHNSW":
         """Partition contiguously and build every shard's sub-index.
 
@@ -228,6 +229,14 @@ class ShardedHNSW:
         device at once (the multi-chip analogue of the reference's thread
         fan-out, ``template.rs:403-440``). ``concurrent=False`` builds the
         shards one by one with the host builder (cross-check path).
+
+        ``build_kwargs`` (``cluster_build=True``, wave-schedule knobs, …)
+        forward to the per-shard host builder and force the sequential
+        path — the shard_map'd wave step owns its own schedule. On a real
+        multi-host pod each process runs the host builder on ITS shard,
+        so "sequential" costs one shard's wall-clock, not S of them
+        (``parallel.multihost``); cluster-bulk is the measured-fastest
+        builder per shard (DEVNOTES round-3).
 
         Calling this on an already-built object REPLACES the index with a
         fresh build over ``vectors``.
@@ -240,10 +249,15 @@ class ShardedHNSW:
         n = vectors.shape[0]
         bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
         self._offsets = bounds[:-1]
+        if build_kwargs:
+            concurrent = False
         if not concurrent:
             for s in range(self.n_shards):
                 sub = HNSW(self.params.m, self.params.ef_cons, self.params.dim)
-                sub.insert_bulk(vectors[bounds[s] : bounds[s + 1]], verbose=verbose)
+                sub.insert_bulk(
+                    vectors[bounds[s] : bounds[s + 1]], verbose=verbose,
+                    **build_kwargs,
+                )
                 self.shards.append(sub)
             self._stack()
             return self

@@ -47,3 +47,24 @@ def test_concurrent_build_self_queries():
     sharded.insert_bulk(vecs)
     _, ids = sharded.ann_batch(vecs[:64], 1, 40)
     assert np.mean(ids[:, 0] == np.arange(64)) > 0.97
+
+
+def test_cluster_build_kwargs_route_to_host_builder():
+    """cluster_build=True (any build kwarg) forces the per-shard host
+    builder and lands in the same recall family as the wave paths."""
+    vecs = gen_rand_vecs(N, DIM, seed=4)
+    queries = gen_rand_vecs(24, DIM, seed=5)
+    flat = FlatIndex(DIM)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+
+    idx = ShardedHNSW(M, DIM, n_shards=4, mesh=make_mesh(1, 4))
+    idx.insert_bulk(vecs, cluster_build=True)
+    assert len(idx) == N and len(idx.shards) == 4  # sequential path taken
+    _, ids = idx.ann_batch(queries, 10, 60)
+    r = recall(ids, truth)
+    assert r > 0.95, f"cluster sharded recall {r}"
+    # seeded serving still composes on top
+    idx.finalize(pivots=64)
+    _, ids2 = idx.ann_batch(queries, 10, 60)
+    assert recall(ids2, truth) > 0.9
