@@ -304,6 +304,15 @@ class HNSW:
         self.graph.ensure_nodes(self.points.capacity)
         self.graph.ensure_level(max(old_top, new_top))
         max_iters = build_kwargs.pop("max_iters", None) or 2 * self.params.ef_cons + 16
+        # bulk-only knobs have no meaning for incremental extension (the
+        # cluster/packed/seeded machinery owns whole layers, not deltas);
+        # dropping them lets `insert_bulk(vectors, cluster_build=True)`
+        # be called uniformly on fresh AND non-empty indexes
+        for bulk_only in (
+            "cluster_build", "cluster_kwargs", "packed_build", "pack_lag",
+            "build_seeded", "build_pivot_cap", "wave_sort",
+        ):
+            build_kwargs.pop(bulk_only, None)
         bar = ProgressBar("inserting", len(new_ids), enabled=verbose)
         new_lv = levels[new_ids]
         for layer_nb in range(int(new_lv.max()), -1, -1):
