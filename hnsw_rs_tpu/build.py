@@ -871,19 +871,19 @@ def build_index(
             )
 
     if cluster_build:
-        # cluster-bulk mode (build_cluster.py): upper layers via the
-        # exact wave path (stopping above layer 0), then ONE clustered
-        # bulk pass owning every layer-0 row — no construction beam
-        # searches at all on the bulk of the data
+        # cluster-bulk mode (build_cluster.py): EVERY layer is one
+        # clustered bulk pass over its members — no construction beam
+        # searches at all (the upper-layer ramped waves cost ~135 s of
+        # the 1M build for 4.3% of the points before this; per-layer
+        # cluster passes cost seconds — DEVNOTES round-3)
         from .build_cluster import build_layer0_clustered
 
         bar = ProgressBar("building HNSW index", n, enabled=verbose)
         for layer_nb in range(top, 0, -1):
-            home = np.flatnonzero(levels == layer_nb).astype(np.int32)
-            insert_waves(
-                graph, store, params, home, layer_nb, ep, max_iters, bar,
-                wave_base, wave_growth, wave_cap, build_expand,
-                stop_layer=1,
+            mem = np.flatnonzero(levels >= layer_nb).astype(np.int32)
+            build_layer0_clustered(
+                graph, store, params, bar=bar, layer_nb=layer_nb,
+                member_ids=mem, **(cluster_kwargs or {}),
             )
         build_layer0_clustered(
             graph, store, params, bar=bar, **(cluster_kwargs or {})

@@ -92,8 +92,9 @@ def _lloyd_iter(codes, scales, cent, chunk: int):
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _assign_only(codes, scales, cent, chunk: int):
     """Assignment against fixed centroids, chunked — no centroid-update
-    scatter-add (the measured wall of ``_lloyd_iter``: the full-N pass
-    costs ~29 s at 1M/k=3907 WITH the scatter vs ~2 s without it)."""
+    scatter-add (a full-N ``_lloyd_iter`` pass costs ~29 s at 1M/k=3907,
+    scatter-dominated; the whole subsampled-train + assign-only kmeans
+    runs in ~19 s warm — bench_cluster_stages.py)."""
     n = codes.shape[0]
     k = cent.shape[0]
     npad = -(-n // chunk) * chunk
@@ -217,16 +218,16 @@ def _cluster_sel_step_impl(
     )  # [G, NQ, CS]
     d2 = jnp.maximum(qq[:, :, None] + cc[:, None, :] - 2.0 * qc, 0.0)
 
+    # one fused mask pass over the [G, NQ, CS] distances (table pads,
+    # invalid query lanes, self-matches all -> INF); candidate IDS are
+    # gathered AFTER top-k from the per-group [CS] table — materializing
+    # a [G, NQ, CS] id array before selection was a measured pure
+    # memory-bandwidth pass (~45 ms of the 116 ms pool stage at 1M)
     bad = jnp.logical_or(
-        (cand < 0)[:, None, :],  # table pad
+        jnp.logical_or((cand < 0)[:, None, :], (qids < 0)[:, :, None]),
         cand[:, None, :] == qids[:, :, None],  # self
     )
     d2 = jnp.where(bad, INF, d2)
-    cids = jnp.where(
-        jnp.logical_and(jnp.logical_not(bad), (qids >= 0)[:, :, None]),
-        jnp.broadcast_to(cand[:, None, :], d2.shape), PAD_ID,
-    )
-    d2 = jnp.where(cids == PAD_ID, INF, d2)
 
     # top-P pool per query; re-sorted to the exact (d2, id) lex order the
     # accept chain requires (top_k breaks distance ties by position — only
@@ -235,15 +236,19 @@ def _cluster_sel_step_impl(
     p = min(pool_p, cs)
     if pool_approx and p < cs:
         # TPU-native bitonic-free top-k (lax.approx_max_k): pool selection
-        # is already an approximation the recall gate owns, and approx_max_k
-        # is ~2.4x the exact top_k at these shapes (DEVNOTES MXU notes)
+        # is already an approximation the recall gate owns (measured ~flat
+        # at these shapes — the mask passes, not top_k, were the wall)
         nv, pos = jax.lax.approx_max_k(-d2, p, recall_target=0.95)
         pos = pos.astype(jnp.int32)
     else:
         nv, pos = jax.lax.top_k(-d2, p)  # [G, NQ, P]
-    pool_ids = jnp.take_along_axis(cids, pos, axis=2).reshape(g * nq, p)
+    pool_ids = jax.vmap(lambda c, s: c[s])(cand, pos)  # [G, NQ, P]
     pool_d2 = (-nv).reshape(g * nq, p)
-    pool_d2 = jnp.where(pool_ids == PAD_ID, INF, pool_d2)
+    # INF lanes are underfull-pool pads (every real candidate was masked
+    # or the table ran short) — their gathered id is arbitrary: PAD it
+    pool_ids = jnp.where(
+        jnp.isinf(pool_d2), PAD_ID, pool_ids.reshape(g * nq, p)
+    )
     pool_d2, pool_ids = sort_dist_id(pool_d2, pool_ids)
 
     qflat = qids.reshape(g * nq)
@@ -380,6 +385,66 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
     return adj_p[:n] if pad_r else adj_p
 
 
+@functools.partial(
+    jax.jit, static_argnames=("slots", "rchunk"), donate_argnames=("adj",)
+)
+def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
+                       slots: int, rchunk: int):
+    """Member-subset variant of :func:`_global_merge` for UPPER layers:
+    only ``rows`` (this layer's members, pad -1, i32[R_pad]) can change,
+    so the union-prune gathers/rewrites R rows instead of sweeping all N
+    (a 1M-row sweep costs ~6 s; a 42k-member layer-1 pass is ~0.1 s).
+    Row writes go through a narrow per-chunk scatter — fine at member
+    counts (wide-row scatters are only catastrophic at millions of
+    rows, DEVNOTES)."""
+    n, cap = adj.shape
+    t, m = sel_ids.shape
+    e = t * m
+    ok = jnp.logical_and(sel_ids != PAD_ID, (qflat >= 0)[:, None])
+    tgt0 = jnp.where(ok, sel_ids, n).reshape(e)
+    src0 = jnp.broadcast_to(qflat[:, None], (t, m)).reshape(e)
+    ed20 = jnp.where(ok, sel_d2, INF).reshape(e)
+    tgt_s, ed2_s, src_s = jax.lax.sort(
+        (tgt0, ed20, src0), dimension=0, num_keys=3
+    )
+    iota_s = jnp.arange(slots, dtype=jnp.int32)[None, :]
+    r_pad = rows.shape[0]
+
+    def chunk_body(ci, adjc):
+        base = ci * rchunk
+        rc = jax.lax.dynamic_slice(rows, (base,), (rchunk,))
+        valid = rc >= 0
+        rsafe = jnp.clip(rc, 0, n - 1)
+        ex = adjc[rsafe]  # [R, cap] phase-A own rows
+        ex_ids = jnp.where(valid[:, None], ex[:, :m], -1)
+        ex_d2 = jnp.where(ex_ids >= 0, own_d2[rsafe], INF)
+        s = jnp.searchsorted(tgt_s, rsafe).astype(jnp.int32)
+        cnt = jnp.searchsorted(tgt_s, rsafe, side="right").astype(
+            jnp.int32
+        ) - s
+        cnt = jnp.where(valid, cnt, 0)
+        off = jnp.clip(s[:, None] + iota_s, 0, e - 1 if e else 0)
+        take = iota_s < jnp.minimum(cnt, slots)[:, None]
+        inc_ids = jnp.where(take, src_s[off], -1)
+        inc_d2 = jnp.where(take, ed2_s[off], INF)
+        dup = jnp.any(
+            inc_ids[:, :, None] == jnp.where(ex_ids >= 0, ex_ids, n)[:, None, :],
+            axis=-1,
+        )
+        inc_ids = jnp.where(dup, -1, inc_ids)
+        inc_d2 = jnp.where(dup, INF, inc_d2)
+        uni_ids = jnp.concatenate(
+            [jnp.where(ex_ids >= 0, ex_ids, PAD_ID),
+             jnp.where(inc_ids >= 0, inc_ids, PAD_ID)], axis=1
+        )
+        uni_d2 = jnp.concatenate([ex_d2, inc_d2], axis=1)
+        uni_d2, uni_ids = sort_dist_id(uni_d2, uni_ids)
+        new = jnp.where(uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap])
+        return adjc.at[jnp.where(valid, rc, n)].set(new, mode="drop")
+
+    return jax.lax.fori_loop(0, r_pad // rchunk, chunk_body, adj)
+
+
 @jax.jit
 def _recount_indeg(adj):
     n = adj.shape[0]
@@ -432,20 +497,45 @@ def build_layer0_clustered(
     batch_queries: int = 4096,
     pool_approx: bool = False,
     bar=None,
+    layer_nb: int = 0,
+    member_ids: np.ndarray | None = None,
 ) -> None:
-    """Build layer 0 of ``graph`` for ALL points in ``store`` with the
-    cluster-bulk pipeline (module docstring). Mutates ``graph`` in place;
-    layer 0 must be empty (the cluster phase owns every row + the
-    in-degree ledger)."""
+    """Build layer ``layer_nb`` of ``graph`` for ``member_ids`` (defaults
+    to ALL points — layer 0) with the cluster-bulk pipeline (module
+    docstring). Mutates ``graph`` in place; the layer must be empty (the
+    cluster phase owns every member row + the in-degree ledger).
+
+    Upper layers (``member_ids`` = points with level >= layer_nb) use the
+    exact same machinery over the member SUBSET: k-means over members,
+    member tables carry global ids, and the reverse merge rewrites only
+    member rows (:func:`_global_merge_rows`). This replaced the
+    upper-layer wave path in the cluster build — the ramped waves cost
+    ~135 s of the 1M build for 4.3% of the points (lockstep beam
+    searches); the per-layer cluster pass costs seconds."""
     n = len(store)
     if n == 0:
         return
     codes, scales = store.codes[:n], store.scales[:n]
-    k = max(2, min(n, -(-n // points_per_cluster)))
-    cent, assign = kmeans(codes, scales, k, iters=kmeans_iters)
+    if member_ids is None:
+        nm = n
+        mem = None
+        mcodes, mscales = codes, scales
+    else:
+        mem = np.asarray(member_ids, np.int32)
+        nm = mem.size
+        if nm == 0:
+            return
+        mem_dev = jnp.asarray(mem)
+        mcodes, mscales = codes[mem_dev], scales[mem_dev]
+    k = max(1, min(nm, -(-nm // points_per_cluster)))
+    cent, assign = kmeans(mcodes, mscales, k, iters=kmeans_iters)
 
-    smax = max(8, int(np.ceil(n / k * smax_headroom / 8)) * 8)
+    smax = max(8, int(np.ceil(nm / k * smax_headroom / 8)) * 8)
     table, overflow = _member_tables(np.asarray(assign), k, smax)
+    if mem is not None:
+        # member tables / overflow lists hold member-LOCAL positions:
+        # map to global point ids (the select step gathers by global id)
+        table = np.where(table >= 0, mem[np.clip(table, 0, nm - 1)], -1)
 
     # nearest clusters per cluster (self is its own nearest at d2=0)
     c2 = jnp.sum(cent * cent, axis=1)
@@ -466,14 +556,15 @@ def build_layer0_clustered(
         starts = np.searchsorted(np.asarray(assign)[order], np.arange(k))
         for c in np.flatnonzero(counts > smax):
             s = int(starts[c])
-            ov_lists[int(c)] = order[s + smax : s + int(counts[c])]
+            ov = order[s + smax : s + int(counts[c])]
+            ov_lists[int(c)] = ov if mem is None else mem[ov]
 
     member_dev = jnp.asarray(table)
     g = max(1, batch_queries // smax)
-    adj = graph.get_layer(0)
+    adj = graph.get_layer(layer_nb)
 
     m = params.m
-    cap = graph.layer_cap(0)
+    cap = graph.layer_cap(layer_nb)
 
     # phase SELECT: heuristic neighbors for every point, batch by batch
     sels = []
@@ -505,10 +596,20 @@ def build_layer0_clustered(
 
     # phase B: global reverse-edge union-prune (one dispatch), then
     # recount the in-degree ledger and repair orphans
-    rchunk = min(65536, max(1024, 1 << (n - 1).bit_length()))
-    adj = _global_merge(
-        adj, own_d2, qflat, sel_d2, sel_ids, slots=2 * cap, rchunk=rchunk
-    )
+    if mem is None:
+        rchunk = min(65536, max(1024, 1 << (n - 1).bit_length()))
+        adj = _global_merge(
+            adj, own_d2, qflat, sel_d2, sel_ids, slots=2 * cap,
+            rchunk=rchunk,
+        )
+    else:
+        rchunk = min(65536, max(1024, 1 << (nm - 1).bit_length()))
+        rows = np.full((-(-nm // rchunk) * rchunk,), -1, np.int32)
+        rows[:nm] = mem
+        adj = _global_merge_rows(
+            adj, own_d2, qflat, sel_d2, sel_ids, jnp.asarray(rows),
+            slots=2 * cap, rchunk=rchunk,
+        )
     indeg = _recount_indeg(adj)
     adj, indeg = _orphan_repair(adj, indeg)
-    graph.set_layer(0, adj, indeg)
+    graph.set_layer(layer_nb, adj, indeg)
