@@ -197,7 +197,7 @@ def main() -> None:
     index._packed0 = None
     index._packed_n = -1
     index.finalize(pivots=PIVOTS, pq_m=24)
-    cb, pq_codes, packed_pq = index._pq
+    cb, pq_codes, packed_pq, _rot = index._pq
     pivot_ids, pivot_vecs = index._pivots
     b_pq = int(packed_pq.size + pq_codes.size + cb.size * 4)
     rows.append(

@@ -130,8 +130,10 @@ class ANNBenchmarksHNSW(_Base):
         if idx._f32_table is not None:
             total += n * d * 4
         if idx._pq is not None:
-            cb, pq_codes, packed_pq = idx._pq
+            cb, pq_codes, packed_pq, rot = idx._pq
             total += packed_pq.size + pq_codes.size + cb.size * 4
+            if rot is not None:
+                total += rot.size * 4
         return total // 1024  # harness expects kB
 
 

@@ -80,11 +80,11 @@ def _ann_seeded_jit(
 )
 def _ann_pq_jit(
     packed0, codebooks, pq_codes, pivot_ids, pivot_vecs, codes, scales, q,
-    ef, k, max_iters, rerank, expand_e=1,
+    ef, k, max_iters, rerank, expand_e=1, rot=None,
 ):
     return ann_search_pq(
         packed0, codebooks, pq_codes, pivot_ids, pivot_vecs, codes, scales,
-        q, ef, k, max_iters, rerank, expand_e,
+        q, ef, k, max_iters, rerank, expand_e, rot,
     )
 
 
@@ -372,12 +372,12 @@ class HNSW:
         piv_fresh = self._pivots is not None and self._pivots_n == len(self)
         pq_fresh = self._pq is not None and self._pq_n == len(self)
         if pq_fresh and piv_fresh:
-            cb, pq_codes, packed_pq = self._pq
+            cb, pq_codes, packed_pq, rot = self._pq
             rr = self.pq_rerank or max(4 * n, ef // 2)
             d, i = _ann_pq_jit(
                 packed_pq, cb, pq_codes, self._pivots[0], self._pivots[1],
                 self.points.codes, self.points.scales, q, ef, n, max_iters,
-                rr, self.serve_expand,
+                rr, self.serve_expand, rot,
             )
         elif pack_fresh and piv_fresh:
             d, i = _ann_seeded_jit(
@@ -414,6 +414,7 @@ class HNSW:
         pq_m: int = 0,
         pq_iters: int = 12,
         pq_rerank: int = 0,
+        pq_opq: bool = False,
     ) -> "HNSW":
         """Build the packed-neighbor serving layout for layer 0.
 
@@ -447,7 +448,9 @@ class HNSW:
         (``search.ann_search_pq``). This replaces the exact packed table
         (``packed`` is forced off) — it is the beyond-HBM memory axis:
         at M=24/d=96/pq_m=24 the serving pack shrinks 3.0× and the beam
-        fetches no vectors at all.
+        fetches no vectors at all. ``pq_opq=True`` trains an OPQ rotation
+        first (``ops.pq.opq_train``) — same memory, strictly lower
+        quantization error; the ADC beam builds its LUT from ``q @ R``.
 
         Re-run after inserts (a stale pack is detected and bypassed,
         never served). Returns self."""
@@ -472,7 +475,17 @@ class HNSW:
                 # is tens of GB; 64k samples train codebooks to the same
                 # distortion (standard PQ practice)
                 ts = min(n, 65536)
-                if ts < n:
+                rot = None
+                if pq_opq:
+                    # OPQ (``ops.pq.opq_train``): learned orthogonal
+                    # rotation before the subspace split; the ADC beam
+                    # builds its LUT from q @ R (ann_search_pq)
+                    from ..ops.pq import opq_train
+
+                    rot, cb = opq_train(
+                        x, pq_m, pq_iters=pq_iters, seed=0, train_n=ts
+                    )
+                elif ts < n:
                     pick = jnp.asarray(
                         np.linspace(0, n - 1, ts).round().astype(np.int64)
                     )
@@ -480,6 +493,8 @@ class HNSW:
                 else:
                     cb = train_pq(x, pq_m, iters=pq_iters, seed=0)
                 # encode everything in chunks for the same temp reason
+                if rot is not None:
+                    x = jnp.dot(x, rot, preferred_element_type=jnp.float32)
                 ch = 1 << 16
                 pq_codes = (
                     encode_pq(x, cb) if n <= ch else jnp.concatenate(
@@ -490,7 +505,7 @@ class HNSW:
                 packed_pq = pack_layer_pq(
                     self.graph.get_layer(0)[:n], pq_codes
                 )
-                self._pq = (cb, pq_codes, packed_pq)
+                self._pq = (cb, pq_codes, packed_pq, rot)
                 self._pq_n = n
             self.pq_rerank = int(pq_rerank)
         else:

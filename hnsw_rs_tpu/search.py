@@ -604,11 +604,17 @@ def ann_search_pq(
     max_iters: int,
     rerank: int,
     expand_e: int = 1,
+    rot: "jnp.ndarray | None" = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pivot-seeded serving over the PQ-packed layout — the >HBM-scale
     memory axis of graph serving (the packed exact-code layout costs
     ``cap*(d+12)`` B/point; this one ``cap*(m_pq+4)`` + ``m_pq`` for the
     seed-score table + the exact codes kept for reranking).
+
+    ``rot`` (optional f32[d, d]): OPQ rotation the codes were trained
+    under (``ops.pq.opq_train``) — the ADC LUT is then built from
+    ``q @ rot`` (``||qR - xR|| = ||q - x||``); seed selection and the
+    exact rerank stay in the original space.
 
     Pipeline: pivot seed selection (exact MXU matmul, as
     :func:`ann_search_seeded`), seeds RE-scored with ADC so the beam
@@ -618,7 +624,10 @@ def ann_search_pq(
     exact-code access on the whole path). No reference analogue
     (``vectors/src/quant.rs`` stops at 1 byte/dim); recall is gated by
     tests/test_pq_serving.py and benchmarks."""
-    lut = pq_lut(q, codebooks)  # [B, m_pq, 256]
+    qr = q if rot is None else jnp.dot(
+        q, rot, preferred_element_type=jnp.float32
+    )
+    lut = pq_lut(qr, codebooks)  # [B, m_pq, 256]
     # seed SELECTION uses the exact pivot table (small, dense); seed
     # SCORES entering the beam are ADC so eviction decisions compare
     # like against like

@@ -98,6 +98,27 @@ def test_pq_serving_memory_is_smaller():
     index.finalize(pivots=128)
     exact_pack = index._packed0.size
     index.finalize(pivots=128, pq_m=8)
-    cb, pq_codes, packed_pq = index._pq
+    cb, pq_codes, packed_pq, _rot = index._pq
     pq_bytes = packed_pq.size + pq_codes.size + cb.size * 4
     assert pq_bytes < 0.5 * exact_pack
+
+
+def test_pq_opq_serving_recall_not_worse():
+    index, ds = _index_and_data()
+    truth = brute_force_nns(
+        ds.test, index.points.codes, index.points.scales, K
+    )
+    index.finalize(pivots=512, pq_m=8)
+    _, ann = index.ann_batch(ds.test, K, ef=96)
+    r_pq = np.mean(
+        [len(set(a) & set(t)) / K for a, t in zip(ann.tolist(), truth.tolist())]
+    )
+    index.finalize(pivots=512, pq_m=8, pq_opq=True)
+    assert index._pq[3] is not None  # rotation trained and stored
+    _, ann_o = index.ann_batch(ds.test, K, ef=96)
+    r_opq = np.mean(
+        [len(set(a) & set(t)) / K
+         for a, t in zip(ann_o.tolist(), truth.tolist())]
+    )
+    # identical memory; OPQ codes carry strictly lower quantization error
+    assert r_opq >= r_pq - 0.02, (r_opq, r_pq)
