@@ -572,6 +572,23 @@ def repair_connectivity(
             )
         ):
             continue
+        # device-side pre-pass: pure orphans (indeg==0, outdeg>0) are
+        # fixable in-jit; the host sweep below costs a FULL adjacency
+        # fetch, which through the dev tunnel (~5 MB/s) is minutes at
+        # million scale — only fall through for the cases the jit pass
+        # cannot express (outdeg==0 members needing nearest-member rows)
+        from .build_cluster import _any_orphan, _orphan_repair
+
+        adj_dev, indeg_dev = graph.get_layer(layer_nb), graph.indeg(layer_nb)
+        for _ in range(4):
+            adj_dev, indeg_dev = _orphan_repair(adj_dev, indeg_dev)
+            if not bool(_any_orphan(adj_dev, indeg_dev)):
+                break
+        graph.set_layer(layer_nb, adj_dev, indeg_dev)
+        if not bool(
+            _any_bad_jit(adj_dev, indeg_dev, levels_dev, layer_nb, n)
+        ):
+            continue
         adj_full = np.asarray(graph.get_layer(layer_nb))
         adj = adj_full[:n].copy()
         vals = None  # dequantized member table, built lazily per layer

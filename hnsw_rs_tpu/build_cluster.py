@@ -446,6 +446,13 @@ def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
 
 
 @jax.jit
+def _any_orphan(adj, indeg):
+    """True iff any connected node (outdeg > 0) has in-degree 0."""
+    outdeg = jnp.sum(adj >= 0, axis=1)
+    return jnp.any(jnp.logical_and(outdeg > 0, indeg == 0))
+
+
+@jax.jit
 def _recount_indeg(adj):
     n = adj.shape[0]
     flat = jnp.where(adj >= 0, adj, n).reshape(-1)
@@ -611,5 +618,13 @@ def build_layer0_clustered(
             slots=2 * cap, rchunk=rchunk,
         )
     indeg = _recount_indeg(adj)
-    adj, indeg = _orphan_repair(adj, indeg)
+    # iterate orphan repair to convergence ON DEVICE: an eviction can
+    # itself orphan a node whose only in-edge sat in the evicted slot,
+    # and ONE leftover orphan makes build.repair_connectivity pull the
+    # full adjacency host-side — 192 MB over a ~5 MB/s dev tunnel at 1M
+    # (the measured ">38 min hang" of the first wave-free run)
+    for _ in range(6):
+        adj, indeg = _orphan_repair(adj, indeg)
+        if not bool(_any_orphan(adj, indeg)):
+            break
     graph.set_layer(layer_nb, adj, indeg)
