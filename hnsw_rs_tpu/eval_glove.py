@@ -64,6 +64,8 @@ def main(argv=None) -> int:
         kw = {}
         if args.build_seeded:
             kw["build_seeded"] = True
+        if args.cluster_build:
+            kw["cluster_build"] = True
         if args.build_mi is not None:
             kw["max_iters"] = args.build_mi
         index.insert_bulk(stored, verbose=verbose,

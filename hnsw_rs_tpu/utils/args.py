@@ -38,6 +38,11 @@ def eval_parser() -> argparse.ArgumentParser:
                    help="seed layer-0 construction searches from the "
                    "level>=1 pivot skeleton (one MXU matmul) instead of "
                    "greedy descent; pair with a tighter --build-mi")
+    p.add_argument("--cluster-build", action="store_true",
+                   help="cluster-bulk build: device k-means + dense MXU "
+                   "pools replace construction beam searches on every "
+                   "layer (the measured-fastest bulk builder; "
+                   "recall-gated, see build_cluster.py)")
     p.add_argument("--build-mi", type=int, default=None,
                    help="construction-search iteration cap (default "
                    "2*ef_cons+16; the lockstep beam runs to the cap, so "
