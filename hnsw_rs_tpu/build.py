@@ -528,6 +528,53 @@ def _any_bad_jit(adj, indeg, levels_dev, layer_nb, n):
     return jnp.any(bad)
 
 
+def _fill_empty_member_rows(
+    graph: LayeredGraph, store: PointStore, layer_nb: int,
+    member: np.ndarray,
+) -> int:
+    """Device-side ``select_simple`` fill for layer members whose row is
+    empty: each gets its ``min(cap, |member|-1)`` nearest members as
+    out-neighbors via the tiled flat search. Only the bad-row MASK and
+    the few bad rows' results cross the device->host pipe. Returns the
+    number of rows filled."""
+    import functools as _ft
+
+    from .models.flat import _flat_search_tiled
+    from .ops.distance import point_normsq
+
+    n = len(store)
+    adj = graph.get_layer(layer_nb)
+    empty = np.zeros(n, bool)
+    empty[member] = True
+    empty &= np.asarray(jnp.sum(adj[:n] >= 0, axis=1) == 0)  # 1 B/point
+    bad = np.flatnonzero(empty).astype(np.int32)
+    if bad.size == 0:
+        return 0
+    cap = adj.shape[1]
+    mem_dev = jnp.asarray(member.astype(np.int32))
+    mcodes = store.codes[mem_dev]
+    mscales = store.scales[mem_dev]
+    normsq = point_normsq(mcodes, mscales)
+    bpad = 1 << max(3, int(bad.size - 1).bit_length())
+    qid = np.full(bpad, int(bad[0]), np.int32)
+    qid[: bad.size] = bad
+    qd = jnp.asarray(qid)
+    q = dequantize(store.codes[qd], store.scales[qd])
+    k = min(cap + 1, int(member.size))
+    _, ti = jax.jit(_ft.partial(_flat_search_tiled, k=k))(
+        q, mcodes, mscales, normsq
+    )
+    loc = np.asarray(ti)[: bad.size]  # member-LOCAL indices, small fetch
+    rows = np.full((bad.size, cap), -1, np.int32)
+    for i, x in enumerate(bad):
+        ids = member[loc[i][loc[i] >= 0]]
+        ids = ids[ids != x][:cap]
+        rows[i, : ids.size] = ids
+    adj = adj.at[jnp.asarray(bad)].set(jnp.asarray(rows))
+    graph.set_layer(layer_nb, adj, indeg=None)  # recount lazily
+    return int(bad.size)
+
+
 def repair_connectivity(
     graph: LayeredGraph, store: PointStore, max_rounds: int = 5
 ) -> int:
@@ -589,6 +636,35 @@ def repair_connectivity(
             _any_bad_jit(adj_dev, indeg_dev, levels_dev, layer_nb, n)
         ):
             continue
+        # still bad after the orphan fixpoint -> members with EMPTY rows.
+        # Fill them on device (select_simple semantics: the cap nearest
+        # members via the tiled flat search) — the bad-row MASK is a 1 B/
+        # point fetch; the old full-adjacency fetch was 96-192 MB at 1M
+        from .utils.logging import get_logger
+
+        log = get_logger("repair")
+        filled = _fill_empty_member_rows(graph, store, layer_nb, member)
+        log.warning(
+            "repair_connectivity layer %d: %d empty member rows filled "
+            "on device", layer_nb, filled,
+        )
+        if filled:
+            fixes += filled
+            adj_dev = graph.get_layer(layer_nb)
+            indeg_dev = graph.indeg(layer_nb)
+            for _ in range(4):
+                adj_dev, indeg_dev = _orphan_repair(adj_dev, indeg_dev)
+                if not bool(_any_orphan(adj_dev, indeg_dev)):
+                    break
+            graph.set_layer(layer_nb, adj_dev, indeg_dev)
+            if not bool(
+                _any_bad_jit(adj_dev, indeg_dev, levels_dev, layer_nb, n)
+            ):
+                continue
+        log.warning(
+            "repair_connectivity layer %d: falling back to the host sweep "
+            "(full adjacency fetch — slow through remote tunnels)", layer_nb,
+        )
         adj_full = np.asarray(graph.get_layer(layer_nb))
         adj = adj_full[:n].copy()
         vals = None  # dequantized member table, built lazily per layer
