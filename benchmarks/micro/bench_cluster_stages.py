@@ -104,26 +104,31 @@ g = max(1, a.batch_queries // smax)
 adj = graph.get_layer(0)
 indeg = graph.indeg(0)
 cap = graph.layer_cap(0)
-n_batches = -(-k // g)
-print(f"select: {n_batches} batches of g={g} clusters "
-      f"(nq/batch={g*2*smax})", flush=True)
+_EMPTY = np.zeros((0,), np.int32)
+items = [(c, True, ov_lists.get(c, _EMPTY)[:smax]) for c in range(k)]
+for c, extra in ov_lists.items():
+    for s in range(smax, extra.size, smax):
+        items.append((c, False, extra[s : s + smax]))
+n_batches = -(-len(items) // g)
+print(f"select: {n_batches} batches of g={g} items "
+      f"({len(items) - k} overflow-only items)", flush=True)
 
 t0 = time.time()
 sels = []
 t_last, done = t0, 0
-for bi, base in enumerate(range(0, k, g)):
+for bi, base in enumerate(range(0, len(items), g)):
+    batch = items[base : base + g]
     cl = np.full((g,), -1, np.int32)
-    take = min(g, k - base)
-    cl[:take] = np.arange(base, base + take, dtype=np.int32)
+    qt = np.zeros((g,), bool)
     ov = np.full((g, smax), -1, np.int32)
-    for i in range(take):
-        extra = ov_lists.get(base + i)
-        if extra is not None:
-            ov[i, : min(extra.size, smax)] = extra[:smax]
+    for i, (c, tk, extra) in enumerate(batch):
+        cl[i] = c
+        qt[i] = tk
+        ov[i, : extra.size] = extra
     sels.append(_cluster_sel_step(
         codes, scales, member_dev, nbrcl,
-        jnp.asarray(cl), jnp.asarray(ov), m=a.m, pool_p=a.pool_p,
-        pool_approx=a.pool_approx,
+        jnp.asarray(cl), jnp.asarray(qt), jnp.asarray(ov),
+        m=a.m, pool_p=a.pool_p, pool_approx=a.pool_approx,
     ))
     if (bi + 1) % a.sync_every == 0 or bi == n_batches - 1:
         sync(sels[-1][2])

@@ -47,6 +47,8 @@ from .ops.topk import INF, PAD_ID, sort_dist_id
 
 __all__ = ["kmeans", "build_layer0_clustered"]
 
+_EMPTY_I32 = np.zeros((0,), np.int32)
+
 
 # ---------------------------------------------------------------------------
 # device k-means
@@ -175,24 +177,28 @@ def _member_tables(assign_np: np.ndarray, k: int, smax: int):
 
 
 def _cluster_sel_step_impl(
-    codes, scales, member, nbrcl, cl_ids, ov_ids, m: int, pool_p: int,
-    pool_approx: bool = False,
+    codes, scales, member, nbrcl, cl_ids, q_take, ov_ids, m: int,
+    pool_p: int, pool_approx: bool = False,
 ):
     """Heuristic-selected layer-0 neighbors for every member of
     ``cl_ids``' clusters (one dispatch). ``member`` i32[K, Smax]
     (pad -1), ``nbrcl`` i32[K, C] nearest-cluster ids (self first),
-    ``cl_ids`` i32[G] this group's clusters (pad -1), ``ov_ids``
-    i32[G, Smax] extra overflow queries for these clusters (pad -1; they
-    get rows but are nobody's candidate — vanishingly few at the default
-    Smax headroom). Returns (qflat i32[G*NQ], sel_d2 [G*NQ, m],
-    sel_ids [G*NQ, m])."""
+    ``cl_ids`` i32[G] this group's clusters (pad -1), ``q_take`` bool[G]
+    (False: an OVERFLOW-ONLY row — candidates still come from
+    ``cl_ids``'s cluster but the member-table queries are masked off,
+    because they were already queried by the cluster's primary row),
+    ``ov_ids`` i32[G, Smax] extra overflow queries for these clusters
+    (pad -1; they get rows but are nobody's candidate). Returns (qflat
+    i32[G*NQ], sel_d2 [G*NQ, m], sel_ids [G*NQ, m])."""
     n = codes.shape[0]
     g, _ = cl_ids.shape[0], None
     smax = member.shape[1]
     c_fan = nbrcl.shape[1]
 
     cl_safe = jnp.clip(cl_ids, 0, member.shape[0] - 1)
-    qids = jnp.where((cl_ids >= 0)[:, None], member[cl_safe], -1)  # [G, S]
+    qids = jnp.where(
+        jnp.logical_and(cl_ids >= 0, q_take)[:, None], member[cl_safe], -1
+    )  # [G, S]
     qids = jnp.concatenate([qids, ov_ids], axis=1)  # [G, S + Sov]
     nq = qids.shape[1]
     nb = nbrcl[cl_safe]  # [G, C]
@@ -555,7 +561,12 @@ def build_layer0_clustered(
     _, nbrcl = jax.lax.top_k(-cd2, c_fan)  # [K, C] ids, self first
     nbrcl = nbrcl.astype(jnp.int32)
 
-    # overflow queries: members beyond Smax, grouped by cluster on host
+    # overflow queries: members beyond Smax, grouped by cluster on host.
+    # A cluster's overflow can exceed one [smax] row (subsampled k-means
+    # produces megaclusters under imbalance) — EVERY chunk becomes a
+    # work item; a dropped chunk would leave its points with empty rows
+    # and no incoming edges (measured: ~10% of 1M unreachable, found by
+    # the recall gate + an OOM in the repair backstop).
     ov_lists = {}
     if overflow:
         counts = np.bincount(np.asarray(assign), minlength=k)
@@ -573,26 +584,35 @@ def build_layer0_clustered(
     m = params.m
     cap = graph.layer_cap(layer_nb)
 
+    # work items: one primary row per cluster (member queries + first
+    # overflow chunk), then overflow-only rows for every further chunk
+    items = [(c, True, ov_lists.get(c, _EMPTY_I32)[:smax]) for c in range(k)]
+    for c, extra in ov_lists.items():
+        for s in range(smax, extra.size, smax):
+            items.append((c, False, extra[s : s + smax]))
+
     # phase SELECT: heuristic neighbors for every point, batch by batch
     sels = []
-    for base in range(0, k, g):
+    for base in range(0, len(items), g):
+        batch = items[base : base + g]
         cl = np.full((g,), -1, np.int32)
-        take = min(g, k - base)
-        cl[:take] = np.arange(base, base + take, dtype=np.int32)
+        qt = np.zeros((g,), bool)
         ov = np.full((g, smax), -1, np.int32)
-        for i in range(take):
-            extra = ov_lists.get(base + i)
-            if extra is not None:
-                ov[i, : min(extra.size, smax)] = extra[:smax]
+        nq_batch = 0
+        for i, (c, take_members, extra) in enumerate(batch):
+            cl[i] = c
+            qt[i] = take_members
+            ov[i, : extra.size] = extra
+            nq_batch += extra.size + (
+                int(np.sum(table[c] >= 0)) if take_members else 0
+            )
         sels.append(_cluster_sel_step(
             codes, scales, member_dev, nbrcl,
-            jnp.asarray(cl), jnp.asarray(ov), m=m, pool_p=pool_p,
-            pool_approx=pool_approx,
+            jnp.asarray(cl), jnp.asarray(qt), jnp.asarray(ov),
+            m=m, pool_p=pool_p, pool_approx=pool_approx,
         ))
         if bar is not None:
-            bar.inc(int(np.sum(table[cl[:take]] >= 0))
-                    + sum(min(v.size, smax) for c, v in ov_lists.items()
-                          if base <= c < base + take))
+            bar.inc(nq_batch)
 
     # phase A: all own rows (+ aligned selection distances) in one pass
     qflat = jnp.concatenate([s[0] for s in sels])

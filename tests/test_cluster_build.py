@@ -83,3 +83,30 @@ def test_cluster_build_seeded_serving_and_persistence(built, tmp_path):
     idx2 = HNSW.load(str(tmp_path / "cl"))
     idx2.finalize(pivots=256)
     assert _recall(idx2, ds, truth, 48) == r
+
+
+def test_cluster_overflow_chunks_cover_every_point():
+    """Megacluster regression: members beyond 2*smax per cluster were
+    silently dropped (empty rows, unreachable points — found at 1M as
+    ~10% coverage loss). A tiny smax_headroom forces every cluster into
+    multiple overflow chunks; every point must still get a row."""
+    ds = synthetic_clustered(3000, 24, n_queries=64, seed=13)
+    idx = HNSW(8, ef_cons=32, dim=24)
+    idx.insert_bulk(
+        ds.train, cluster_build=True,
+        cluster_kwargs={"smax_headroom": 0.2, "points_per_cluster": 1024},
+    )
+    adj0 = np.asarray(idx.graph.get_layer(0))[: len(idx)]
+    outdeg = (adj0 >= 0).sum(1)
+    assert int((outdeg == 0).sum()) == 0, "dropped overflow members"
+    for r in range(0, len(idx), 131):  # rows stay duplicate-free
+        row = adj0[r][adj0[r] >= 0]
+        assert row.size == np.unique(row).size
+    qq = dequantize(*quantize(jnp.asarray(ds.test)))
+    normsq = point_normsq(idx.points.codes, idx.points.scales)
+    _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
+        qq, idx.points.codes, idx.points.scales, normsq
+    )
+    truth = np.asarray(ti)[:, :K]
+    r = _recall(idx, ds, truth, 48)
+    assert r >= 0.9, r
