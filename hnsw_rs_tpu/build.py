@@ -627,8 +627,8 @@ def repair_connectivity(
         from .build_cluster import _any_orphan, _orphan_repair
 
         adj_dev, indeg_dev = graph.get_layer(layer_nb), graph.indeg(layer_nb)
-        for _ in range(4):
-            adj_dev, indeg_dev = _orphan_repair(adj_dev, indeg_dev)
+        for r in range(10):
+            adj_dev, indeg_dev = _orphan_repair(adj_dev, indeg_dev, round_=r)
             if not bool(_any_orphan(adj_dev, indeg_dev)):
                 break
         graph.set_layer(layer_nb, adj_dev, indeg_dev)
@@ -652,8 +652,9 @@ def repair_connectivity(
             fixes += filled
             adj_dev = graph.get_layer(layer_nb)
             indeg_dev = graph.indeg(layer_nb)
-            for _ in range(4):
-                adj_dev, indeg_dev = _orphan_repair(adj_dev, indeg_dev)
+            for r in range(10):
+                adj_dev, indeg_dev = _orphan_repair(adj_dev, indeg_dev,
+                                                    round_=r)
                 if not bool(_any_orphan(adj_dev, indeg_dev)):
                     break
             graph.set_layer(layer_nb, adj_dev, indeg_dev)
@@ -661,9 +662,15 @@ def repair_connectivity(
                 _any_bad_jit(adj_dev, indeg_dev, levels_dev, layer_nb, n)
             ):
                 continue
+        adj_dev = graph.get_layer(layer_nb)
+        indeg_dev = graph.indeg(layer_nb)
+        n_orph = int(jnp.sum(jnp.logical_and(
+            jnp.sum(adj_dev >= 0, axis=1) > 0, indeg_dev == 0
+        )))
         log.warning(
-            "repair_connectivity layer %d: falling back to the host sweep "
-            "(full adjacency fetch — slow through remote tunnels)", layer_nb,
+            "repair_connectivity layer %d: falling back to the host sweep, "
+            "%d residual orphans (full adjacency fetch — slow through "
+            "remote tunnels)", layer_nb, n_orph,
         )
         adj_full = np.asarray(graph.get_layer(layer_nb))
         adj = adj_full[:n].copy()

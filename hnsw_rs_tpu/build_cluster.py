@@ -465,19 +465,29 @@ def _recount_indeg(adj):
     return jnp.zeros((n,), jnp.int32).at[flat].add(1, mode="drop")
 
 
-@functools.partial(jax.jit, donate_argnames=("adj", "indeg"))
-def _orphan_repair(adj, indeg):
+@functools.partial(
+    jax.jit, static_argnames=("round_",), donate_argnames=("adj", "indeg")
+)
+def _orphan_repair(adj, indeg, round_: int = 0):
     """One global orphan-repair pass (the step-3 logic of
     ``build._apply_wave_impl``, standalone): every connected node
-    (outdeg > 0) with indeg == 0 is force-written into its nearest
-    out-neighbor's worst slot, ranked to avoid slot collisions.
-    ``build.repair_connectivity`` remains the host backstop for the
-    pathological leftovers (an eviction here can itself orphan a node
-    whose only in-edge was the evicted slot)."""
+    (outdeg > 0) with indeg == 0 is force-written into an out-neighbor's
+    worst slot, ranked to avoid slot collisions.
+
+    ``round_`` picks WHICH out-neighbor (slot ``round_`` of the orphan's
+    row, falling back to slot 0 when empty): with a fixed target the
+    pass is a deterministic fixpoint — >cap orphans colliding on one
+    target re-rank identically every round and the losers stay orphaned
+    forever, and two mutually-evicting full rows livelock (measured at
+    1M as a non-converging repair that fell through to the host sweep's
+    192 MB fetch). Varying the slot per round spreads collisions over
+    distinct targets, so iterating rounds converges."""
     n, cap = adj.shape
     outdeg = jnp.sum(adj >= 0, axis=1)
     orphan = jnp.logical_and(outdeg > 0, indeg == 0)
-    tfix = jnp.where(orphan, adj[:, 0], n)
+    alt = adj[:, min(round_, cap - 1)]
+    tchoice = jnp.where(alt >= 0, alt, adj[:, 0])
+    tfix = jnp.where(orphan, tchoice, n)
     all_ids = jnp.arange(n, dtype=jnp.int32)
     tfix_s, src_s = jax.lax.sort((tfix, all_ids), dimension=0, num_keys=1)
     ffirst = jnp.concatenate(
@@ -643,8 +653,8 @@ def build_layer0_clustered(
     # and ONE leftover orphan makes build.repair_connectivity pull the
     # full adjacency host-side — 192 MB over a ~5 MB/s dev tunnel at 1M
     # (the measured ">38 min hang" of the first wave-free run)
-    for _ in range(6):
-        adj, indeg = _orphan_repair(adj, indeg)
+    for r in range(10):
+        adj, indeg = _orphan_repair(adj, indeg, round_=r)
         if not bool(_any_orphan(adj, indeg)):
             break
     graph.set_layer(layer_nb, adj, indeg)
