@@ -100,7 +100,7 @@ _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
 )
 truth = [set(t) for t in np.asarray(ti)[:, :K]]
 idx.finalize(pivots=8192)
-for ef, mi_q in ((40, 24), (48, 32)):
+for ef, mi_q in ((40, 24), (48, 32), (64, 56), (96, 80)):
     _, ann = _ann_seeded_jit(
         idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
     )

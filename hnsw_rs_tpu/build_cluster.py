@@ -145,6 +145,62 @@ def kmeans(codes, scales, k: int, iters: int = 4, chunk: int = 16384,
     return cent, assign
 
 
+def _split_oversized(
+    assign_np: np.ndarray, k: int, smax: int, keys: np.ndarray | None = None
+):
+    """Split clusters with more than ``smax`` members into pseudo-clusters
+    of at most ``smax``, chunked in ``keys`` order (a 1-D spatial
+    projection) so each chunk is a coherent sub-blob with its own
+    distinguishable centroid (:func:`_table_centroids` recomputes exact
+    per-chunk centroids afterwards — identical sibling centroids would
+    tie at d2=0 and crowd the whole nearest-cluster fanout).
+
+    Without the split, overflow members were queries but never
+    CANDIDATES: points in dense regions could not form edges among
+    themselves in either direction — measured at 1M (subsampled k-means,
+    ~20% overflow) as serving recall collapsing to ~0.69 against a 0.99
+    gate. Returns (new_assign, k_total)."""
+    counts = np.bincount(assign_np, minlength=k)
+    big = np.flatnonzero(counts > smax)
+    if big.size == 0:
+        return assign_np, k
+    new_assign = assign_np.copy()
+    order = np.argsort(assign_np, kind="stable")
+    starts = np.searchsorted(assign_np[order], np.arange(k))
+    nxt = k
+    for c in big:
+        s, cnt = int(starts[c]), int(counts[c])
+        ids = order[s : s + cnt]
+        if keys is not None:
+            ids = ids[np.argsort(keys[ids], kind="stable")]
+        for off in range(smax, cnt, smax):
+            new_assign[ids[off : off + smax]] = nxt
+            nxt += 1
+    return new_assign, nxt
+
+
+@functools.partial(jax.jit, static_argnames=("rchunk",))
+def _table_centroids(codes, scales, table, rchunk: int):
+    """Exact per-member-table-row centroids f32[K, d] (pad rows -> 0),
+    chunked over rows to bound the [rchunk, smax, d] dequantize temp."""
+    n = codes.shape[0]
+    k2, smax = table.shape
+    rows = table.reshape(-1, rchunk, smax)  # caller pads k2 to rchunk mult
+
+    def step(_, rws):
+        safe = jnp.clip(rws, 0, n - 1).reshape(-1)
+        v = dequantize(codes[safe], scales[safe]).reshape(
+            rchunk, smax, -1
+        )
+        msk = (rws >= 0)[..., None]
+        s = jnp.sum(jnp.where(msk, v, 0.0), axis=1)
+        c = jnp.sum(msk, axis=1).astype(jnp.float32)
+        return None, s / jnp.maximum(c, 1.0)
+
+    _, cent = jax.lax.scan(step, None, rows)
+    return cent.reshape(-1, cent.shape[-1])[:k2]
+
+
 def _member_tables(assign_np: np.ndarray, k: int, smax: int):
     """Host-side [K, Smax] member table (pad -1). Overflowing members
     (cluster count > Smax) stay QUERIES in their own batch but are not
@@ -554,11 +610,27 @@ def build_layer0_clustered(
     cent, assign = kmeans(mcodes, mscales, k, iters=kmeans_iters)
 
     smax = max(8, int(np.ceil(nm / k * smax_headroom / 8)) * 8)
-    table, overflow = _member_tables(np.asarray(assign), k, smax)
+    # spatial key for chunking oversized clusters: one random projection
+    # (member-local), fetched once — 4 B/member
+    proj = np.asarray(jnp.einsum(
+        "nd,d->n",
+        dequantize(mcodes, mscales),
+        jnp.asarray(np.random.default_rng(11).standard_normal(
+            mcodes.shape[1]).astype(np.float32)),
+    ))
+    assign_np, k = _split_oversized(np.asarray(assign), k, smax, keys=proj)
+    table, overflow = _member_tables(assign_np, k, smax)
     if mem is not None:
         # member tables / overflow lists hold member-LOCAL positions:
         # map to global point ids (the select step gathers by global id)
         table = np.where(table >= 0, mem[np.clip(table, 0, nm - 1)], -1)
+    # exact per-row centroids AFTER the split (Lloyd centroids are stale
+    # for pseudo-clusters, and identical sibling centroids would tie)
+    rch = min(1024, max(8, 1 << max(k - 1, 1).bit_length()))
+    kpad = -(-k // rch) * rch
+    tpad = np.full((kpad, smax), -1, np.int32)
+    tpad[:k] = table  # global ids in both cases; gathers hit the global store
+    cent = _table_centroids(codes, scales, jnp.asarray(tpad), rchunk=rch)[:k]
 
     # nearest clusters per cluster (self is its own nearest at d2=0)
     c2 = jnp.sum(cent * cent, axis=1)
@@ -579,9 +651,9 @@ def build_layer0_clustered(
     # the recall gate + an OOM in the repair backstop).
     ov_lists = {}
     if overflow:
-        counts = np.bincount(np.asarray(assign), minlength=k)
-        order = np.argsort(np.asarray(assign), kind="stable").astype(np.int32)
-        starts = np.searchsorted(np.asarray(assign)[order], np.arange(k))
+        counts = np.bincount(assign_np, minlength=k)
+        order = np.argsort(assign_np, kind="stable").astype(np.int32)
+        starts = np.searchsorted(assign_np[order], np.arange(k))
         for c in np.flatnonzero(counts > smax):
             s = int(starts[c])
             ov = order[s + smax : s + int(counts[c])]
