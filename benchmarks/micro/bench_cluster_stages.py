@@ -25,9 +25,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from hnsw_rs_tpu.build_cluster import (  # noqa: E402
-    _cluster_sel_step, _global_merge, _member_tables, _orphan_repair,
-    _own_rows_step, _recount_indeg, kmeans,
+    _any_orphan, _cluster_sel_step, _global_merge, _member_tables,
+    _orphan_repair, _own_rows_step, _recount_indeg, _split_oversized,
+    _table_centroids, kmeans,
 )
+from hnsw_rs_tpu.ops.quant import dequantize  # noqa: E402
 from hnsw_rs_tpu.graphs import LayeredGraph  # noqa: E402
 from hnsw_rs_tpu.params import Params  # noqa: E402
 from hnsw_rs_tpu.store import PointStore  # noqa: E402
@@ -74,10 +76,22 @@ t0 = time.time()
 assign_np = np.asarray(assign)
 t_fetch = time.time() - t0
 smax = max(8, int(np.ceil(n / k * 1.75 / 8)) * 8)
+proj = np.asarray(jnp.einsum(
+    "nd,d->n", dequantize(codes, scales),
+    jnp.asarray(np.random.default_rng(11).standard_normal(96).astype(np.float32)),
+))
+assign_np, k = _split_oversized(assign_np, k, smax, keys=proj)
 table, overflow = _member_tables(assign_np, k, smax)
+rch = min(1024, max(8, 1 << max(k - 1, 1).bit_length()))
+kpad = -(-k // rch) * rch
+tpad = np.full((kpad, smax), -1, np.int32)
+tpad[:k] = table
+cent = _table_centroids(codes, scales, jnp.asarray(tpad), rchunk=rch)[:k]
+sync(cent)
 t_mt = time.time() - t0
-print(f"member tables (smax={smax}, overflow={overflow}): {t_mt:.1f}s"
-      f" (assign fetch {t_fetch:.1f}s)", flush=True)
+print(f"member tables+split+centroids (k={k}, smax={smax}, "
+      f"overflow={overflow}): {t_mt:.1f}s (assign fetch {t_fetch:.1f}s)",
+      flush=True)
 
 t0 = time.time()
 c2 = jnp.sum(cent * cent, axis=1)
@@ -159,7 +173,10 @@ print(f"phase B (global merge, rchunk={rchunk}): {t_rev:.1f}s", flush=True)
 
 t0 = time.time()
 indeg = _recount_indeg(adj)
-adj, indeg = _orphan_repair(adj, indeg)
+for r in range(10):
+    adj, indeg = _orphan_repair(adj, indeg, round_=r)
+    if not bool(_any_orphan(adj, indeg)):
+        break
 sync(indeg)
 t_fix = time.time() - t0
 print(f"indeg recount + orphan repair: {t_fix:.1f}s", flush=True)
