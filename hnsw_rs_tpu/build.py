@@ -985,12 +985,12 @@ def build_index(
                 graph, store, params, bar=bar, layer_nb=layer_nb,
                 member_ids=mem, **(cluster_kwargs or {}),
             )
-        build_layer0_clustered(
+        cluster_pivots = build_layer0_clustered(
             graph, store, params, bar=bar, **(cluster_kwargs or {})
         )
         bar.finish()
         repair_connectivity(graph, store)
-        return graph, ep, None
+        return graph, ep, None, cluster_pivots
 
     bar = ProgressBar("building HNSW index", n, enabled=verbose)
     for layer_nb in range(top, -1, -1):
@@ -1007,4 +1007,4 @@ def build_index(
     fixes = repair_connectivity(graph, store)
     if state is not None and fixes:
         state.refresh(graph, store)  # host repair bypassed the tracking
-    return graph, ep, (state.packed0 if state is not None else None)
+    return graph, ep, (state.packed0 if state is not None else None), None

@@ -181,8 +181,12 @@ def _split_oversized(
 
 @functools.partial(jax.jit, static_argnames=("rchunk",))
 def _table_centroids(codes, scales, table, rchunk: int):
-    """Exact per-member-table-row centroids f32[K, d] (pad rows -> 0),
-    chunked over rows to bound the [rchunk, smax, d] dequantize temp."""
+    """Exact per-member-table-row centroids f32[K, d] (pad rows -> 0)
+    plus each row's REPRESENTATIVE (the member nearest its row centroid,
+    i32[K], -1 for empty rows), chunked over rows to bound the
+    [rchunk, smax, d] dequantize temp. Representatives are the serving
+    pivot set for cluster-built graphs (every region covered by
+    construction — ``HNSW.finalize``)."""
     n = codes.shape[0]
     k2, smax = table.shape
     rows = table.reshape(-1, rchunk, smax)  # caller pads k2 to rchunk mult
@@ -195,10 +199,18 @@ def _table_centroids(codes, scales, table, rchunk: int):
         msk = (rws >= 0)[..., None]
         s = jnp.sum(jnp.where(msk, v, 0.0), axis=1)
         c = jnp.sum(msk, axis=1).astype(jnp.float32)
-        return None, s / jnp.maximum(c, 1.0)
+        mean = s / jnp.maximum(c, 1.0)
+        d2 = jnp.sum((v - mean[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(msk[..., 0], d2, INF)
+        pos = jnp.argmin(d2, axis=1)
+        rep = jnp.take_along_axis(rws, pos[:, None], axis=1)[:, 0]
+        return None, (mean, rep)
 
-    _, cent = jax.lax.scan(step, None, rows)
-    return cent.reshape(-1, cent.shape[-1])[:k2]
+    _, (cent, reps) = jax.lax.scan(step, None, rows)
+    return (
+        cent.reshape(-1, cent.shape[-1])[:k2],
+        reps.reshape(-1)[:k2],
+    )
 
 
 def _member_tables(assign_np: np.ndarray, k: int, smax: int):
@@ -354,10 +366,11 @@ def _own_rows_step(adj, qflat, sel_d2, sel_ids, cap: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slots", "rchunk"), donate_argnames=("adj",)
+    jax.jit, static_argnames=("slots", "rchunk", "heuristic"),
+    donate_argnames=("adj",),
 )
-def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
-                  slots: int, rchunk: int):
+def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
+                  slots: int, rchunk: int, heuristic: bool = True):
     """Phase B, ONE dispatch: global reverse-edge union-prune.
 
     The round-3 per-batch apply replayed ``_apply_wave_impl`` ~435 times
@@ -375,8 +388,18 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
        from ``own_d2`` — zero gathers) with the first ``slots`` incoming,
        dedup mutual selections, (d2, id)-sort, keep ``cap``.
 
+    ``heuristic=True`` (default): each row's final composition is the
+    Algorithm-4 accept chain over the sorted union (``keep_pruned``,
+    ``m=cap``) — the reference's ``prune_connections`` semantics. A
+    plain nearest-cap union (``heuristic=False``) builds a directed
+    kNN graph whose dense regions are poorly navigable: measured at 1M
+    as serving recall FLAT at ~0.70-0.74 across ef 40-96 against the
+    0.99 gate (benchmarks/micro/bench_build_cfg.py --cluster). Diversity
+    of the row, not just proximity, is what lets beams ENTER a
+    neighborhood from outside.
+
     In-degree protection during pruning is dropped (the per-batch path
-    protected indeg==1 neighbors); global d2-ranked competition plus the
+    protected indeg==1 neighbors); global competition plus the
     orphan-repair pass (:func:`_orphan_repair`) and the host backstop
     (``build.repair_connectivity``) own connectivity instead — the
     cluster build's quality contract is recall-gated, not
@@ -440,7 +463,21 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
         )
         uni_d2 = jnp.concatenate([ex_d2, inc_d2], axis=1)
         uni_d2, uni_ids = sort_dist_id(uni_d2, uni_ids)
-        new = jnp.where(uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap])
+        if heuristic:
+            rows = jnp.clip(
+                base + jnp.arange(rchunk, dtype=jnp.int32), 0,
+                codes.shape[0] - 1,
+            )
+            tvec = dequantize(codes[rows], scales[rows])
+            sel_d2, sel_ids = _accept_from_pool(
+                codes, scales, tvec, uni_d2, uni_ids, cap,
+                keep_pruned=True,
+            )
+            new = jnp.where(sel_ids == PAD_ID, -1, sel_ids)
+        else:
+            new = jnp.where(
+                uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap]
+            )
         return jax.lax.dynamic_update_slice(adjc, new, (base, 0))
 
     adj_p = jax.lax.fori_loop(0, npad // rchunk, chunk_body, adj_p)
@@ -448,10 +485,12 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slots", "rchunk"), donate_argnames=("adj",)
+    jax.jit, static_argnames=("slots", "rchunk", "heuristic"),
+    donate_argnames=("adj",),
 )
 def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
-                       slots: int, rchunk: int):
+                       codes, scales, slots: int, rchunk: int,
+                       heuristic: bool = True):
     """Member-subset variant of :func:`_global_merge` for UPPER layers:
     only ``rows`` (this layer's members, pad -1, i32[R_pad]) can change,
     so the union-prune gathers/rewrites R rows instead of sweeping all N
@@ -501,7 +540,17 @@ def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
         )
         uni_d2 = jnp.concatenate([ex_d2, inc_d2], axis=1)
         uni_d2, uni_ids = sort_dist_id(uni_d2, uni_ids)
-        new = jnp.where(uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap])
+        if heuristic:
+            tvec = dequantize(codes[rsafe], scales[rsafe])
+            sel_d2, sel_ids = _accept_from_pool(
+                codes, scales, tvec, uni_d2, uni_ids, cap,
+                keep_pruned=True,
+            )
+            new = jnp.where(sel_ids == PAD_ID, -1, sel_ids)
+        else:
+            new = jnp.where(
+                uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap]
+            )
         return adjc.at[jnp.where(valid, rc, n)].set(new, mode="drop")
 
     return jax.lax.fori_loop(0, r_pad // rchunk, chunk_body, adj)
@@ -575,6 +624,7 @@ def build_layer0_clustered(
     smax_headroom: float = 1.75,
     batch_queries: int = 4096,
     pool_approx: bool = False,
+    merge_heuristic: bool = True,
     bar=None,
     layer_nb: int = 0,
     member_ids: np.ndarray | None = None,
@@ -630,7 +680,10 @@ def build_layer0_clustered(
     kpad = -(-k // rch) * rch
     tpad = np.full((kpad, smax), -1, np.int32)
     tpad[:k] = table  # global ids in both cases; gathers hit the global store
-    cent = _table_centroids(codes, scales, jnp.asarray(tpad), rchunk=rch)[:k]
+    cent, reps_dev = _table_centroids(
+        codes, scales, jnp.asarray(tpad), rchunk=rch
+    )
+    cent = cent[:k]
 
     # nearest clusters per cluster (self is its own nearest at d2=0)
     c2 = jnp.sum(cent * cent, axis=1)
@@ -704,20 +757,24 @@ def build_layer0_clustered(
     adj, own_d2 = _own_rows_step(adj, qflat, sel_d2, sel_ids, cap=cap)
 
     # phase B: global reverse-edge union-prune (one dispatch), then
-    # recount the in-degree ledger and repair orphans
+    # recount the in-degree ledger and repair orphans. The heuristic
+    # union keeps per-chunk [R, C, d] accept-gather temps bounded via a
+    # smaller row chunk.
+    rlim = 16384 if merge_heuristic else 65536
     if mem is None:
-        rchunk = min(65536, max(1024, 1 << (n - 1).bit_length()))
+        rchunk = min(rlim, max(1024, 1 << (n - 1).bit_length()))
         adj = _global_merge(
-            adj, own_d2, qflat, sel_d2, sel_ids, slots=2 * cap,
-            rchunk=rchunk,
+            adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
+            slots=2 * cap, rchunk=rchunk, heuristic=merge_heuristic,
         )
     else:
-        rchunk = min(65536, max(1024, 1 << (nm - 1).bit_length()))
+        rchunk = min(rlim, max(1024, 1 << (nm - 1).bit_length()))
         rows = np.full((-(-nm // rchunk) * rchunk,), -1, np.int32)
         rows[:nm] = mem
         adj = _global_merge_rows(
             adj, own_d2, qflat, sel_d2, sel_ids, jnp.asarray(rows),
-            slots=2 * cap, rchunk=rchunk,
+            codes, scales, slots=2 * cap, rchunk=rchunk,
+            heuristic=merge_heuristic,
         )
     indeg = _recount_indeg(adj)
     # iterate orphan repair to convergence ON DEVICE: an eviction can
@@ -730,3 +787,10 @@ def build_layer0_clustered(
         if not bool(_any_orphan(adj, indeg)):
             break
     graph.set_layer(layer_nb, adj, indeg)
+    if layer_nb == 0:
+        # per-cluster serving pivots: one representative per cluster
+        # (finalize() seeds from them — level-sampled pivots miss whole
+        # micro-regions on cluster-built graphs)
+        reps = np.asarray(reps_dev[:k])
+        return reps[reps >= 0].astype(np.int32)
+    return None

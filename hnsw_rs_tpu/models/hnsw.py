@@ -141,6 +141,10 @@ class HNSW:
         # the upper-layer skeleton replaces greedy descent at query time
         self._pivots = None
         self._pivots_n = -1
+        # cluster-build serving pivots: one representative per k-means
+        # cluster (set by insert_bulk(cluster_build=True); finalize seeds
+        # from these first — every region covered by construction)
+        self._cluster_pivots = None
         # PQ-coded serving (finalize(pq_m=...)): ADC beam over a PQ-packed
         # layer-0 — the beyond-HBM memory mode (search.ann_search_pq)
         self._pq = None  # (codebooks, pq_codes, packed0_pq)
@@ -217,9 +221,10 @@ class HNSW:
         )
         new_ids = self.points.extend(new)
         if fresh:
-            self.graph, ep, packed0 = build_index(
+            self.graph, ep, packed0, creps = build_index(
                 self.points, self.params, verbose=verbose, **build_kwargs
             )
+            self._cluster_pivots = creps
             self.params.ep = ep
             if packed0 is not None:
                 # a packed build maintains the serving layout as it goes —
@@ -267,7 +272,8 @@ class HNSW:
         )
         new_ids = self.points.extend(new)
         if len(self.points) == vectors.shape[0]:  # was empty: fresh build
-            self.graph, ep, packed0 = build_index(self.points, self.params)
+            self.graph, ep, packed0, creps = build_index(self.points, self.params)
+            self._cluster_pivots = creps
             self.params.ep = ep  # (was dropped before: queries entered at 0)
             if packed0 is not None:
                 self._packed0 = packed0
@@ -548,7 +554,44 @@ class HNSW:
                     np.linspace(0, ids.size - 1, pivots).round().astype(np.int64)
                 )
                 ids = ids[pick]
-            ids = jnp.asarray(ids.astype(np.int32))
+            if self._cluster_pivots is not None:
+                # cluster-built graphs: levels carry no structural meaning
+                # and level-sampled pivots MISS whole micro-regions (a
+                # cluster of s points has no level>=1 member with
+                # probability (1-1/M)^s — measured as whole-query recall
+                # collapses whose best seed sat ~28x further than the true
+                # NN). The build's per-cluster representatives cover every
+                # region BY CONSTRUCTION: seed from them first, topping up
+                # with the level-based picks to the budget.
+                reps = np.asarray(self._cluster_pivots, np.int64)
+                if reps.size > pivots:
+                    pick = np.unique(
+                        np.linspace(0, reps.size - 1, pivots)
+                        .round().astype(np.int64)
+                    )
+                    reps = reps[pick]
+                seen = set(reps.tolist())
+                extra = [i for i in np.asarray(ids).tolist()
+                         if i not in seen][: max(0, pivots - reps.size)]
+                ids = np.concatenate([reps, np.asarray(extra, np.int64)])
+            if ids.size < min(pivots, len(self)):
+                # FILL the budget with evenly-strided layer-0 ids: the
+                # level>=1 pool alone can be far smaller than the budget
+                # (833 nodes at 20k/M=24 vs a 4096 request — the budget
+                # silently went unfilled), and level sampling leaves
+                # whole micro-regions seedless: measured as whole-query
+                # recall losses whose best seed sat ~28x further than
+                # the true neighbor (DEVNOTES round-3)
+                stride = np.linspace(
+                    0, len(self) - 1, min(pivots, len(self))
+                ).round().astype(np.int64)
+                seen2 = set(np.asarray(ids).tolist())
+                fill = [i for i in stride.tolist() if i not in seen2]
+                ids = np.concatenate([
+                    np.asarray(ids, np.int64),
+                    np.asarray(fill[: pivots - ids.size], np.int64),
+                ])
+            ids = jnp.asarray(np.asarray(ids).astype(np.int32))
             vecs = dequantize(self.points.codes[ids], self.points.scales[ids])
             self._pivots = (ids, vecs)
             self._pivots_n = len(self)
@@ -651,6 +694,10 @@ class HNSW:
         }
         for i in range(len(self.graph)):
             arrays[f"adj_{i}"] = np.asarray(self.graph.get_layer(i))[:n]
+        if self._cluster_pivots is not None:
+            arrays["cluster_pivots"] = np.asarray(
+                self._cluster_pivots, np.int32
+            )
         np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
 
     @classmethod
@@ -666,7 +713,12 @@ class HNSW:
             scales = jnp.asarray(z["scales"])
             levels = np.asarray(z["levels"])
             adjs = [jnp.asarray(z[f"adj_{i}"]) for i in range(meta["n_layers"])]
+            creps = (
+                np.asarray(z["cluster_pivots"]) if "cluster_pivots" in z
+                else None
+            )
         index = cls(params.m, params=params)
+        index._cluster_pivots = creps
         index.points = PointStore(codes, scales, levels)
         index.graph = LayeredGraph(params.m, codes.shape[0])
         # populate through the layer API so in-degree caches are created
