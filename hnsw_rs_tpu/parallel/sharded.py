@@ -546,9 +546,13 @@ class ShardedHNSW:
         )
         packed_s = pack_fn(st["adjs"][0], st["codes"], st["scales"])
 
-        # per-shard pivot ids: smallest level whose member count reaches
-        # the budget (HNSW.finalize's rule), evenly subsampled to exactly
-        # `pivots`, padded with -1
+        # per-shard pivot ids (HNSW.finalize's selection, shard-local):
+        # cluster-build representatives first when the shard was built by
+        # the host cluster builder, then level-based picks, then an
+        # evenly-strided fill so the BUDGET is actually met (an unfilled
+        # budget and level-only sampling both leave micro-regions
+        # seedless — the measured whole-query recall failure mode,
+        # DEVNOTES round-3)
         pid = np.full((S, pivots), -1, np.int32)
         for s in range(S):
             k = int(self._counts[s])
@@ -566,6 +570,35 @@ class ShardedHNSW:
                     np.linspace(0, ids.size - 1, pivots).round().astype(np.int64)
                 )
                 ids = ids[pick]
+            reps = (
+                self.shards[s]._cluster_pivots
+                if s < len(self.shards)
+                and getattr(self.shards[s], "_cluster_pivots", None)
+                is not None
+                else None
+            )
+            if reps is not None:
+                reps = np.asarray(reps, np.int64)
+                if reps.size > pivots:
+                    reps = reps[np.unique(
+                        np.linspace(0, reps.size - 1, pivots)
+                        .round().astype(np.int64)
+                    )]
+                seen = set(reps.tolist())
+                extra = [i for i in ids.tolist() if i not in seen]
+                ids = np.concatenate([
+                    reps, np.asarray(extra[: max(0, pivots - reps.size)],
+                                     np.int64),
+                ])
+            if ids.size < min(pivots, k):
+                stride = np.linspace(0, k - 1, min(pivots, k)).round() \
+                    .astype(np.int64)
+                seen2 = set(ids.tolist())
+                fill = [i for i in stride.tolist() if i not in seen2]
+                ids = np.concatenate([
+                    np.asarray(ids, np.int64),
+                    np.asarray(fill[: pivots - ids.size], np.int64),
+                ])
             pid[s, : ids.size] = ids
         shard = NamedSharding(self.mesh, P("shard"))
         pid_d = jax.device_put(jnp.asarray(pid), shard)
