@@ -53,8 +53,10 @@ def main() -> None:
         N = 100_000
     # M=24/efc=128: the measured QPS-at-recall>=0.99 sweet spot at 1M
     # (benchmarks/SERVING_1M.json; a denser graph reaches the recall
-    # gate in ~24 beam iterations from pivot seeds vs ~280 at M=16)
-    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 8192
+    # gate in ~24 beam iterations from pivot seeds vs ~280 at M=16).
+    # PIVOTS=16384: cluster builds emit ~N/96 per-cluster reps; the
+    # budget must cover them or micro-regions go seedless (DEVNOTES)
+    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 16384
     cache = os.path.join(ROOT, ".bench_cache")
     tag = f"n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
@@ -76,7 +78,13 @@ def main() -> None:
         def timed_build():
             t0 = time.time()
             idx = HNSW(M, ef_cons=EF_CONS, dim=D)
-            idx.insert_bulk(ds.train)
+            # cluster-bulk build (build_cluster.py): the measured-fastest
+            # builder — wave-free, recall-gated by this very benchmark's
+            # >=0.99 serving gate below
+            idx.insert_bulk(
+                ds.train, cluster_build=True,
+                cluster_kwargs={"pool_p": 256, "points_per_cluster": 96},
+            )
             for a in idx.graph.adjs:  # force completion via tiny checksums
                 int(jnp.sum(jnp.abs(a) % 7))
             return idx, time.time() - t0

@@ -45,6 +45,7 @@ p.add_argument("--pool-approx", action="store_true",
 p.add_argument("--ppc", type=int, default=256, help="cluster points-per-cluster")
 p.add_argument("--pool-p", type=int, default=512)
 p.add_argument("--batch-queries", type=int, default=4096)
+p.add_argument("--pivots", type=int, default=8192)
 p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
 p.add_argument("--lag", type=int, default=1)
 p.add_argument("--wave-sort", action="store_true")
@@ -99,7 +100,7 @@ _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
     qq, idx.points.codes, idx.points.scales, normsq
 )
 truth = [set(t) for t in np.asarray(ti)[:, :K]]
-idx.finalize(pivots=8192)
+idx.finalize(pivots=a.pivots)
 for ef, mi_q in ((40, 24), (48, 32), (64, 56), (96, 80)):
     _, ann = _ann_seeded_jit(
         idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
