@@ -33,7 +33,7 @@ def main() -> None:
     from hnsw_rs_tpu.utils.datasets import synthetic_heavy_tailed
 
     N = 100_000 if "--quick" in sys.argv else int(os.environ.get("HNSW_BENCH_N", "1000000"))
-    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 8192
+    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 16384
     cache = os.path.join(ROOT, ".bench_cache")
     tag = f"ht_n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
@@ -48,7 +48,9 @@ def main() -> None:
     else:
         t0 = time.time()
         index = HNSW(M, ef_cons=EF_CONS, dim=D)
-        index.insert_bulk(ds.train)
+        index.insert_bulk(ds.train, cluster_build=True,
+                          cluster_kwargs={"pool_p": 256,
+                                          "points_per_cluster": 96})
         for a in index.graph.adjs:
             int(jnp.sum(jnp.abs(a) % 7))
         build_rate = N / (time.time() - t0)

@@ -49,7 +49,7 @@ def main() -> None:
     from hnsw_rs_tpu.utils.datasets import synthetic_clustered
 
     N = 100_000 if "--quick" in sys.argv else int(os.environ.get("HNSW_BENCH_N", "1000000"))
-    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 8192
+    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 16384
     cache = os.path.join(ROOT, ".bench_cache")
     tag = f"n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
@@ -61,7 +61,9 @@ def main() -> None:
         index = HNSW.load(idx_dir)
     else:
         index = HNSW(M, ef_cons=EF_CONS, dim=D)
-        index.insert_bulk(ds.train)
+        index.insert_bulk(ds.train, cluster_build=True,
+                          cluster_kwargs={"pool_p": 256,
+                                          "points_per_cluster": 96})
         index.save(idx_dir)
 
     if os.path.exists(gt_path):
