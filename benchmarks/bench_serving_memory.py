@@ -194,8 +194,13 @@ def main() -> None:
     ]
 
     # PQ-coded mode replaces the exact pack — free it first (both packs
-    # cannot be HBM-resident at 1M: 5.2 GB + 1.7 GB + base tables > HBM)
-    del packed0
+    # cannot be HBM-resident at 1M: 5.2 GB + 1.7 GB + base tables > HBM).
+    # Also drop the f32 table + adjacency aliases the earlier modes held:
+    # keeping them alongside the PQ pack crashed the TPU worker at 1M
+    # (silent-OOM kill class, DEVNOTES "usable HBM")
+    del packed0, f32, adj0, adjs
+    index._f32_table = None
+    index._f32_n = -1
     index._packed0 = None
     index._packed_n = -1
     index.finalize(pivots=PIVOTS, pq_m=24)

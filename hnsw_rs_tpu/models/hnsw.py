@@ -225,6 +225,17 @@ class HNSW:
                 self.points, self.params, verbose=verbose, **build_kwargs
             )
             self._cluster_pivots = creps
+            if creps is not None and len(self.points):
+                # cluster-built graphs serve poorly through plain
+                # hierarchical descent (measured BELOW the 0.99 gate at
+                # any ef on 1M — benchmarks/SERVING_MEMORY.json) but
+                # clear it pivot-SEEDED. Auto-enable the memory-honest
+                # seeded mode (no packed rows) so the default ann_batch
+                # is gate-quality; finalize() upgrades/retunes it.
+                self.params.ep = ep
+                self.finalize(
+                    pivots=max(1024, int(1.5 * creps.size)), packed=False
+                )
             self.params.ep = ep
             if packed0 is not None:
                 # a packed build maintains the serving layout as it goes —
