@@ -78,19 +78,22 @@ def main() -> None:
     hyb = HybridPagedHNSW(paged_dir, hot_bytes=hot_bytes, pivots=4096,
                           cache_blocks=4096)
     _, _ = hyb.ann_batch(ds.test[:32], K, EF)  # warm compiles
-    hyb.hits = hyb.misses = 0
-    t0 = time.time()
-    _, ids_hyb = hyb.ann_batch(ds.test, K, EF)
-    dt_hyb = time.time() - t0
-    exp = hyb.hits + hyb.misses
-    out["rows"].append({
-        "mode": "hybrid-hot-tier", "qps": round(len(ds.test) / dt_hyb, 1),
-        "parity_vs_mem": round(parity(ids_hyb), 4),
-        "hot_hit_rate": round(hyb.hits / max(exp, 1), 4),
-        "hot_rows": hyb.hot_rows,
-        "expansions": exp,
-    })
-    print(json.dumps(out["rows"][-1]), flush=True)
+    for e in (1, 4):
+        hyb.hits = hyb.misses = 0
+        t0 = time.time()
+        _, ids_hyb = hyb.ann_batch(ds.test, K, EF, expand_e=e)
+        dt_hyb = time.time() - t0
+        exp = hyb.hits + hyb.misses
+        out["rows"].append({
+            "mode": f"hybrid-hot-tier-e{e}",
+            "qps": round(len(ds.test) / dt_hyb, 1),
+            "parity_vs_mem": round(parity(ids_hyb), 4),
+            "hot_hit_rate": round(hyb.hits / max(exp, 1), 4),
+            "hot_rows": hyb.hot_rows,
+            "expansions": exp,
+            "dispatches_per_batch": hyb.dispatches,
+        })
+        print(json.dumps(out["rows"][-1]), flush=True)
 
     with open(os.path.join(ROOT, "benchmarks", "PAGED_HYBRID.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -189,8 +189,15 @@ def _pack_rows(comb, adj, rows, d: int):
 
 
 def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
-                     packed=None, comb=None, repack=True, set_own=True):
+                     packed=None, comb=None, repack=True, set_own=True,
+                     dedup=False):
     """Apply one wave's connections at one layer, functionally.
+
+    ``dedup=True`` extends the set_own=False duplicate guard to the
+    set_own path: required when ``ids_w`` are EXISTING nodes being
+    re-waved in place (``ShardedHNSW.rebalance``) — they still have
+    in-edges, so a reverse edge can land in a row that already holds
+    the id. A no-op for fresh nodes (undiscoverable until applied).
 
     ``ids_w`` int32[W] (invalid lanes < 0), ``nbr_ids``/``nbr_d2`` [W, m]
     heuristic output (PAD_ID/inf padded), ``indeg`` int32[N] running
@@ -220,6 +227,15 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
     nbr_ok = jnp.logical_and(nbr_ids != PAD_ID, lane_valid)
 
     if set_own:
+        if dedup:
+            # re-wave mode: the member's OLD out-edges are about to be
+            # overwritten — release their in-degree contributions first
+            # (fresh nodes have empty rows, so this stays a no-op there)
+            old = jnp.take(
+                adj, jnp.where(ids_w >= 0, ids_w, n), axis=0,
+                mode="fill", fill_value=SENTINEL,
+            )
+            indeg = indeg.at[jnp.where(old >= 0, old, n)].add(-1, mode="drop")
         # 1. own rows: heuristic neighbors, sentinel-padded to cap
         own = jnp.where(nbr_ok, nbr_ids, SENTINEL)
         if m < cap:
@@ -269,7 +285,7 @@ def _apply_wave_impl(adj, indeg, codes, scales, ids_w, nbr_d2, nbr_ids,
 
     targets_u = jnp.where(first, tgt, n)  # unique targets (others -> n)
     ex = jnp.take(adj, targets_u, axis=0, mode="fill", fill_value=SENTINEL)
-    if not set_own:
+    if not set_own or dedup:
         # cluster-bulk apply: the target's row may ALREADY contain an
         # incoming source (mutual selection — phase A wrote every own row
         # before any reverse edge). Adding it again would put the id in
@@ -427,6 +443,7 @@ def _insert_wave_fused_impl(
     pivot_ids=None,
     pivot_vecs=None,
     stop_layer: int = 0,
+    dedup: bool = False,
 ):
     """One whole wave as a single dispatch: greedy descent above the home
     layer, then (beam search -> select_heuristic -> apply) for every layer
@@ -485,11 +502,12 @@ def _insert_wave_fused_impl(
         if lam == 0 and packed0 is not None:
             new_adjs[0], new_indegs[0], packed0, stale = _apply_wave_impl(
                 adjs[0], indegs[0], codes, scales, ids_w, sel_d2, sel_ids,
-                packed=packed0, comb=comb, repack=repack,
+                packed=packed0, comb=comb, repack=repack, dedup=dedup,
             )
         else:
             new_adjs[lam], new_indegs[lam] = _apply_wave_impl(
-                adjs[lam], indegs[lam], codes, scales, ids_w, sel_d2, sel_ids
+                adjs[lam], indegs[lam], codes, scales, ids_w, sel_d2, sel_ids,
+                dedup=dedup,
             )
     if packed0 is None:
         return tuple(new_adjs), tuple(new_indegs)
@@ -500,7 +518,7 @@ _insert_wave_fused = functools.partial(
     jax.jit,
     static_argnames=(
         "ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e",
-        "stop_layer",
+        "stop_layer", "dedup",
     ),
     donate_argnames=("adjs", "indegs"),
 )(_insert_wave_fused_impl)
@@ -509,7 +527,7 @@ _insert_wave_fused_pk = functools.partial(
     jax.jit,
     static_argnames=(
         "ef", "m", "max_iters", "layer_nb", "extend_cands", "expand_e",
-        "repack",
+        "repack", "dedup",
     ),
     donate_argnames=("adjs", "indegs", "packed0"),
 )(_insert_wave_fused_impl)

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import json
 import os
+import threading
+from collections import OrderedDict
 
 import numpy as np
 
@@ -61,6 +63,13 @@ def save_paged(index, path: str) -> None:
         for i in range(1, len(index.graph))
     }
     upper["levels"] = levels
+    # persist finalize()'s EXACT pivot seed set when it is current: the
+    # in-memory selection rule (level>=1 + cluster representatives +
+    # strided budget fill, models/hnsw.py finalize) evolves, and the
+    # hybrid tier must seed identically to keep exactness vs in-memory
+    # (tests/test_paged.py::test_hybrid_paged_matches_in_memory_seeded)
+    if getattr(index, "_pivots", None) is not None and index._pivots_n == n:
+        upper["pivot_ids"] = np.asarray(index._pivots[0], np.int32)
     np.savez_compressed(os.path.join(path, _UPPER_FILE), **upper)
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(
@@ -96,6 +105,9 @@ class PagedHNSW:
                 z[f"adj_{i}"] for i in range(1, int(meta["n_layers"]))
             ]
             self.levels = z["levels"]
+            self.pivot_ids = (
+                z["pivot_ids"] if "pivot_ids" in z.files else None
+            )
 
     def __len__(self) -> int:
         return self.n
@@ -286,7 +298,15 @@ class HybridPagedHNSW(PagedHNSW):
         hot_bytes: int = 512 << 20,
         pivots: int = 8192,
         cache_blocks: int = 1024,
+        prefetch: int = 0,
     ):
+        """``prefetch > 0`` enables speculative cold staging: each beam
+        iteration also returns its ``prefetch`` next-best unexpanded
+        candidates, whose packed rows a worker thread assembles into a
+        host row cache WHILE the device expands the popped ones — the
+        next iteration's cold staging then starts from warm rows
+        (overlaps disk IO + row assembly with device compute; results
+        are bit-identical, prefetch only warms caches)."""
         super().__init__(path, cache_blocks=cache_blocks)
         import jax.numpy as jnp
 
@@ -313,26 +333,100 @@ class HybridPagedHNSW(PagedHNSW):
         self.hits = 0  # hot-tier expansion counters (observability)
         self.misses = 0
 
-        # pivot skeleton: level>=1 nodes (evenly subsampled to budget)
-        piv = np.flatnonzero(self.levels >= 1)
-        if piv.size == 0:
-            piv = np.arange(min(self.n, max(1, pivots)))
-        if piv.size > pivots:
-            pick = np.unique(
-                np.linspace(0, piv.size - 1, pivots).round().astype(np.int64)
-            )
-            piv = piv[pick]
+        # pivot skeleton: the saved index's finalize() seed set when
+        # present (exactness vs in-memory requires the SAME seeds — the
+        # in-memory rule includes cluster representatives and a strided
+        # budget fill the level test below can't reproduce); otherwise
+        # level>=1 nodes evenly subsampled / strided-filled to budget
+        if self.pivot_ids is not None:
+            piv = np.asarray(self.pivot_ids, np.int64)
+        else:
+            piv = np.flatnonzero(self.levels >= 1)
+            if piv.size == 0:
+                piv = np.arange(min(self.n, max(1, pivots)))
+            if piv.size > pivots:
+                pick = np.unique(
+                    np.linspace(0, piv.size - 1, pivots)
+                    .round().astype(np.int64)
+                )
+                piv = piv[pick]
+            elif piv.size < min(pivots, self.n):
+                # mirror finalize()'s budget fill (models/hnsw.py):
+                # evenly-strided layer-0 ids top up the seed set
+                stride = np.linspace(
+                    0, self.n - 1, min(pivots, self.n)
+                ).round().astype(np.int64)
+                seen = set(piv.tolist())
+                fill = [i for i in stride.tolist() if i not in seen]
+                piv = np.concatenate([
+                    piv.astype(np.int64),
+                    np.asarray(fill[: pivots - piv.size], np.int64),
+                ])
         pc, ps = self._codes_scales(piv)
         self._pivot_ids = jnp.asarray(piv.astype(np.int32))
         self._pivot_vecs = jnp.asarray(
             pc.astype(np.float32) * ps[:, 1:2] + ps[:, 0:1]
         )
 
+        # speculative prefetch state (see __init__ docstring)
+        self.prefetch = int(prefetch)
+        self._row_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._row_cache_cap = 0  # sized per batch in ann_batch
+        self._row_lock = threading.Lock()
+        self._pf_pool = None  # lazy ThreadPoolExecutor(1)
+        self.prefetch_hits = 0
+
+    def _prefetch_rows(self, ids: np.ndarray) -> None:
+        """Worker-thread body: assemble packed rows for ``ids`` into the
+        host row cache (skips ids already cached)."""
+        with self._row_lock:
+            todo = [i for i in ids.tolist() if i not in self._row_cache]
+        if not todo:
+            return
+        rows = self._packed_rows_host(np.asarray(todo, np.int64))
+        with self._row_lock:
+            for i, r in zip(todo, rows):
+                self._row_cache[i] = r
+            while len(self._row_cache) > self._row_cache_cap:
+                self._row_cache.popitem(last=False)
+
+    def _cold_rows(self, ids: np.ndarray) -> np.ndarray:
+        """Packed rows for cold ids, served from the prefetch row cache
+        where warm, assembled (and cached) otherwise."""
+        out = np.empty((ids.size, self._wrow), np.uint8)
+        miss = []
+        with self._row_lock:
+            for j, i in enumerate(ids.tolist()):
+                r = self._row_cache.get(i)
+                if r is None:
+                    miss.append(j)
+                else:
+                    self._row_cache.move_to_end(i)
+                    out[j] = r
+        self.prefetch_hits += ids.size - len(miss)
+        if miss:
+            rows = self._packed_rows_host(ids[miss])
+            out[miss] = rows
+            if self.prefetch:
+                with self._row_lock:
+                    for j, r in zip(miss, rows):
+                        self._row_cache[int(ids[j])] = r
+                    while len(self._row_cache) > self._row_cache_cap:
+                        self._row_cache.popitem(last=False)
+        return out
+
     def ann_batch(
-        self, queries: np.ndarray, n: int, ef: int, max_iters: int | None = None
+        self, queries: np.ndarray, n: int, ef: int,
+        max_iters: int | None = None, expand_e: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched hybrid query: device beam over the hot tier, cold rows
-        staged per iteration. Returns (distances [B, n], ids [B, n])."""
+        staged per iteration. ``expand_e > 1`` pops the E best unexpanded
+        entries per iteration in ONE dispatch + ONE cold staging upload —
+        the paged regime's per-iteration cost is fixed host round-trips
+        (dispatch floor + staging latency), so dispatches/query drops ~E×
+        at the same recall-per-ef-or-better (``search._beam_loop`` body_e
+        semantics: speculative pops only add candidates). Returns
+        (distances [B, n], ids [B, n])."""
         import jax.numpy as jnp
 
         from ..ops.quant import quantize
@@ -349,7 +443,8 @@ class HybridPagedHNSW(PagedHNSW):
             max_iters = 2 * ef + 16
         b = int(q.shape[0])
         cap = self._cap
-        ring_size = max(2 * cap, 64)
+        e = max(1, min(int(expand_e), ef))
+        ring_size = max(2 * cap, 64, e * cap)
 
         e_d2, e_ids = _pivot_seeds(self._pivot_ids, self._pivot_vecs, q, ef)
         beam_d2, beam_ids, beam_exp = init_beam(e_d2, e_ids, ef)
@@ -358,12 +453,29 @@ class HybridPagedHNSW(PagedHNSW):
         ring = jnp.concatenate([e_ids, ring[:, : ring_size - k0]], axis=1) \
             if ring_size > k0 else e_ids[:, :ring_size]
 
+        look = max(0, int(self.prefetch))
+        pf_pending = None
+        if look:
+            self._row_cache_cap = max(
+                self._row_cache_cap, 8 * b * max(e, look)
+            )
+            if self._pf_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pf_pool = ThreadPoolExecutor(
+                    1, thread_name_prefix="hyb-prefetch"
+                )
+
+        self.dispatches = 0  # per-call round-trip counter (observability)
         for _ in range(max_iters):
-            cand, active, beam_exp = _hyb_pick(beam_d2, beam_ids, beam_exp)
-            cand_h = np.asarray(cand)
-            act_h = np.asarray(active)
+            cand, active, beam_exp, spec = _hyb_pick(
+                beam_d2, beam_ids, beam_exp, e=e, look=look
+            )
+            cand_h = np.asarray(cand).reshape(-1)  # [B*E]
+            act_h = np.asarray(active).reshape(-1)
             if not act_h.any():
                 break
+            self.dispatches += 1
             cold_lanes = np.flatnonzero(
                 act_h & (self._slot_host[np.clip(cand_h, 0, self.n - 1)] < 0)
             )
@@ -373,20 +485,36 @@ class HybridPagedHNSW(PagedHNSW):
             # number of compiled variants
             cpad = max(8, 1 << int(cold_lanes.size - 1).bit_length()) \
                 if cold_lanes.size else 8
-            lanes = np.full(cpad, b, np.int32)  # b = out-of-range drop
+            lanes = np.full(cpad, b * e, np.int32)  # b*e = out-of-range drop
             lanes[: cold_lanes.size] = cold_lanes
             rows_cold = np.zeros((cpad, self._wrow), np.uint8)
             if cold_lanes.size:
-                rows_cold[: cold_lanes.size] = self._packed_rows_host(
-                    cand_h[cold_lanes]
+                if pf_pending is not None:
+                    pf_pending.result()  # rows may still be in flight
+                    pf_pending = None
+                rows_cold[: cold_lanes.size] = (
+                    self._cold_rows(cand_h[cold_lanes]) if look
+                    else self._packed_rows_host(cand_h[cold_lanes])
                 )
             beam_d2, beam_ids, beam_exp, ring = _hyb_expand(
                 self._hot_packed,
                 jnp.asarray(self._slot_host[np.clip(cand_h, 0, self.n - 1)]),
                 jnp.asarray(rows_cold), jnp.asarray(lanes),
                 beam_d2, beam_ids, beam_exp, ring, q, cand, active,
-                cap=cap, d=self._d,
+                cap=cap, d=self._d, e=e,
             )
+            if look:
+                # speculative staging: assemble the lookahead candidates'
+                # cold rows on the worker thread while the device expands
+                spec_h = np.asarray(spec).reshape(-1)
+                spec_h = spec_h[
+                    (spec_h >= 0) & (spec_h < self.n)
+                ]
+                spec_cold = spec_h[self._slot_host[spec_h] < 0]
+                if spec_cold.size:
+                    pf_pending = self._pf_pool.submit(
+                        self._prefetch_rows, np.unique(spec_cold)
+                    )
 
         beam_d2 = np.asarray(beam_d2)
         beam_ids = np.asarray(beam_ids)
@@ -401,28 +529,71 @@ def _lazy_jits():
 
     from ..ops.distance import l2sq
     from ..ops.topk import INF as _INF
-    from ..ops.topk import merge_sorted_dist_id, sort_dist_id
+    from ..ops.topk import dedup_ids, merge_sorted_dist_id, sort_dist_id
     from ..search import unpack_rows
 
-    @jax.jit
-    def pick(beam_d2, beam_ids, beam_exp):
+    @functools.partial(jax.jit, static_argnames=("e", "look"))
+    def pick(beam_d2, beam_ids, beam_exp, e, look):
+        b, ef = beam_ids.shape
+        slot_iota = jnp.arange(ef, dtype=jnp.int32)[None, :]
         unexp = jnp.logical_not(beam_exp)
-        active = jnp.any(unexp, axis=1)
-        pos = jnp.argmax(unexp, axis=1)
-        cand = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
-        slot_iota = jnp.arange(beam_ids.shape[1], dtype=jnp.int32)[None, :]
-        hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
-        return cand, active, jnp.logical_or(beam_exp, hit)
+        if e <= 1 and look == 0:
+            active = jnp.any(unexp, axis=1)
+            pos = jnp.argmax(unexp, axis=1)
+            cand = jnp.take_along_axis(beam_ids, pos[:, None], axis=1)[:, 0]
+            hit = jnp.logical_and(active[:, None], slot_iota == pos[:, None])
+            exp = jnp.logical_or(beam_exp, hit)
+            return cand, active, exp, jnp.zeros((b, 0), jnp.int32)
+        # E best unexpanded slots (beam is sorted): search._beam_loop
+        # body_e; the next `look` slots after them are the speculative
+        # prefetch set (likely pops of the NEXT iteration)
+        t = min(e + look, ef)
+        pos_t = jax.lax.sort(
+            jnp.where(unexp, jnp.broadcast_to(slot_iota, unexp.shape), ef),
+            dimension=-1,
+        )[:, :t]  # [B, t]; ef = "no such slot"
+        pos_e = pos_t[:, :e]
+        act_e = pos_e < ef
+        cand = jnp.take_along_axis(
+            beam_ids, jnp.where(act_e, pos_e, 0), axis=1
+        )  # [B, E]
+        beam_exp = jnp.logical_or(
+            beam_exp,
+            jnp.any(slot_iota[:, None, :] == pos_e[:, :, None], axis=1),
+        )
+        pos_s = pos_t[:, e:]
+        spec = jnp.where(
+            pos_s < ef,
+            jnp.take_along_axis(
+                beam_ids, jnp.where(pos_s < ef, pos_s, 0), axis=1
+            ),
+            jnp.int32(-1),
+        )  # [B, look]
+        if e <= 1:
+            cand, act_e = cand[:, 0], act_e[:, 0]
+        return cand, act_e, beam_exp, spec
 
-    @functools.partial(jax.jit, static_argnames=("cap", "d"))
+    @functools.partial(jax.jit, static_argnames=("cap", "d", "e"))
     def expand(hot_packed, slot, rows_cold, lanes, beam_d2, beam_ids,
-               beam_exp, ring, q, cand, active, cap, d):
+               beam_exp, ring, q, cand, active, cap, d, e):
         b = q.shape[0]
         rows = hot_packed[jnp.clip(slot, 0, hot_packed.shape[0] - 1)]
         rows = rows.at[lanes].set(rows_cold, mode="drop")
-        nbrs, vecs = unpack_rows(rows, cap, d)
-        # exact search._beam_loop body_1 semantics from here on
-        valid = jnp.logical_and(nbrs >= 0, active[:, None])
+        nbrs, vecs = unpack_rows(rows, cap, d)  # [B*E, cap(, d)]
+        # exact search._beam_loop body semantics from here on (body_1 at
+        # E=1, body_e otherwise: flatten the E rows, dedup before merge)
+        if e > 1:
+            nbrs = nbrs.reshape(b, e * cap)
+            vecs = vecs.reshape(b, e * cap, -1)
+            act = active.reshape(b, e)
+            valid = jnp.logical_and(
+                nbrs >= 0,
+                jnp.broadcast_to(
+                    act[:, :, None], (b, e, cap)
+                ).reshape(b, e * cap),
+            )
+        else:
+            valid = jnp.logical_and(nbrs >= 0, active[:, None])
         nbrs_safe = jnp.where(valid, nbrs, 0)
         known = jnp.logical_or(
             jnp.any(nbrs_safe[:, :, None] == beam_ids[:, None, :], axis=-1),
@@ -432,12 +603,16 @@ def _lazy_jits():
         ring_size = ring.shape[1]
         ring = jnp.concatenate(
             [jnp.where(new, nbrs, jnp.int32(PAD_ID)),
-             ring[:, : ring_size - cap]], axis=1
+             ring[:, : ring_size - e * cap]], axis=1
         )
         nd2 = l2sq(q[:, None, :], vecs)
         nd2 = jnp.where(new, nd2, _INF)
         nids = jnp.where(new, nbrs, jnp.int32(PAD_ID))
-        nd2, nids, nexp = sort_dist_id(nd2, nids, jnp.logical_not(new))
+        if e > 1:
+            # the E expanded rows may share neighbors — dedup before the
+            # merge so the beam never holds one id twice
+            nd2, nids = dedup_ids(nd2, nids)
+        nd2, nids, nexp = sort_dist_id(nd2, nids, nids == PAD_ID)
         md2, mids, mexp = merge_sorted_dist_id(
             beam_d2, beam_ids, nd2, nids, beam_exp, nexp
         )
@@ -447,10 +622,10 @@ def _lazy_jits():
     return pick, expand
 
 
-def _hyb_pick(*a):
+def _hyb_pick(*a, **k):
     global _hyb_pick, _hyb_expand
     _hyb_pick, _hyb_expand = _lazy_jits()
-    return _hyb_pick(*a)
+    return _hyb_pick(*a, **k)
 
 
 def _hyb_expand(*a, **k):

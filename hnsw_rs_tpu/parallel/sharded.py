@@ -139,7 +139,7 @@ def sharded_query_seeded(
 
 def sharded_wave_step(
     mesh, adjs_s, indegs_s, codes_s, scales_s, ids_w_s, eps_s,
-    *, ef, m, max_iters, layer_nb=0, extend_cands=True,
+    *, ef, m, max_iters, layer_nb=0, extend_cands=True, dedup=False,
 ):
     """One wave of sharded bulk construction: every shard runs the FULL
     fused insertion wave (greedy descent above the home layer, per-layer
@@ -162,7 +162,7 @@ def sharded_wave_step(
         new_adjs, new_indegs = _insert_wave_fused_impl(
             adjs, indegs, codes, scales, ids_w, ep,
             ef=ef, m=m, max_iters=max_iters, layer_nb=layer_nb,
-            extend_cands=extend_cands,
+            extend_cands=extend_cands, dedup=dedup,
         )
         return (
             tuple(a[None] for a in new_adjs),
@@ -220,9 +220,14 @@ class ShardedHNSW:
 
     def insert_bulk(
         self, vectors: np.ndarray, verbose: bool = False,
-        concurrent: bool = True, **build_kwargs,
+        concurrent: bool = True, partition_bounds=None, **build_kwargs,
     ) -> "ShardedHNSW":
         """Partition contiguously and build every shard's sub-index.
+
+        ``partition_bounds`` (optional, S+1 ascending ints) overrides the
+        even split — caller-directed placement (e.g. locality-aware
+        ingest). Skewed bounds are the main producer of the load
+        imbalance :meth:`rebalance` repairs.
 
         ``concurrent=True`` (default): all shards build **simultaneously**
         — each wave is one shard_map'd fused insert step running on every
@@ -247,7 +252,15 @@ class ShardedHNSW:
         self._packed = None
         self._pack_n = -1
         n = vectors.shape[0]
-        bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
+        if partition_bounds is None:
+            bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
+        else:
+            bounds = np.asarray(partition_bounds, int)
+            if bounds.shape != (self.n_shards + 1,) or bounds[0] != 0 \
+                    or bounds[-1] != n or np.any(np.diff(bounds) < 0):
+                raise ValueError(
+                    "partition_bounds must be S+1 ascending ints from 0 to n"
+                )
         self._offsets = bounds[:-1]
         if build_kwargs:
             concurrent = False
@@ -388,7 +401,6 @@ class ShardedHNSW:
         """
         if self._stacked is None:
             raise ValueError("index is empty: call insert_bulk first")
-        from ..build import _bucket, wave_schedule
         from ..store import sample_levels
 
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
@@ -396,21 +408,43 @@ class ShardedHNSW:
         if n_new == 0:
             return np.zeros((0,), np.int64)
         S = self.n_shards
-        p = self.params
-        st = self._stacked
-        self._packed = None  # serving pack goes stale
-        self._pack_n = -1
 
         # balanced round-robin assignment: least-loaded shards first
         order = np.argsort(self._counts, kind="stable")
         shard_of = order[np.arange(n_new) % S]
         gid0 = int(self._counts.sum())
         new_gids = gid0 + np.arange(n_new)
-        lv_new = sample_levels(n_new, p.ml, seed=S + self._level_calls)
+        lv_new = sample_levels(n_new, self.params.ml, seed=S + self._level_calls)
         self._level_calls += 1
+        codes_new, scales_new = quantize(jnp.asarray(vectors))
+        self._insert_rows(
+            np.asarray(codes_new), np.asarray(scales_new),
+            new_gids, lv_new, shard_of,
+        )
+        return new_gids
+
+    def _insert_rows(
+        self, codes_new, scales_new, gids_new, lv_new, shard_of, extra=None,
+        dedup=False,
+    ) -> np.ndarray:
+        """Write pre-quantized rows at shard tails and wave-insert them
+        into the existing sub-graphs — the machinery shared by
+        :meth:`add` and :meth:`rebalance`. ``extra`` — optional
+        ``(shard, row, level)`` int arrays of EXISTING rows to re-wave in
+        place (rebalance's repair: their adjacency rows are rebuilt by
+        the same fused wave step; pass ``dedup=True`` with it — existing
+        nodes still have in-edges, see ``_apply_wave_impl``). Returns the
+        new rows' local row ids (aligned with ``gids_new``)."""
+        S = self.n_shards
+        p = self.params
+        st = self._stacked
+        self._packed = None  # serving pack goes stale
+        self._pack_n = -1
+        n_new = int(gids_new.shape[0])
 
         # per-shard local placements
-        k_s = np.bincount(shard_of, minlength=S)
+        k_s = np.bincount(shard_of, minlength=S) if n_new else \
+            np.zeros(S, np.int64)
         ns_old = int(self._levels.shape[1])
         need = int((self._counts + k_s).max())
         ns = ns_old if need <= ns_old else max(need, 2 * ns_old)
@@ -432,16 +466,16 @@ class ShardedHNSW:
 
         # grow the layer stack if a new node draws a new top level
         top_old = len(st["adjs"]) - 1
-        top_new = max(top_old, int(lv_new.max()))
+        lv_max = int(lv_new.max()) if n_new else 0
+        if extra is not None and extra[2].size:
+            lv_max = max(lv_max, int(extra[2].max()))
+        top_new = max(top_old, lv_max)
         for l in range(top_old + 1, top_new + 1):
             st["adjs"] = st["adjs"] + (
                 dev(jnp.full((S, ns, p.layer_cap(l)), -1, jnp.int32)),
             )
 
         # write the new rows (codes/scales/gids/levels) per shard
-        codes_new, scales_new = quantize(jnp.asarray(vectors))
-        codes_new = np.asarray(codes_new)
-        scales_new = np.asarray(scales_new)
         eps = np.asarray(st["eps"]).copy()
         local_of = np.empty(n_new, np.int64)
         codes_h = None
@@ -454,19 +488,24 @@ class ShardedHNSW:
             st["codes"] = st["codes"].at[s, rows].set(codes_new[sel])
             st["scales"] = st["scales"].at[s, rows].set(scales_new[sel])
             st["gids"] = st["gids"].at[s, rows].set(
-                jnp.asarray(new_gids[sel].astype(np.int32))
+                jnp.asarray(gids_new[sel].astype(np.int32))
             )
             self._levels[s, rows] = lv_new[sel]
-            # a new per-shard top level moves that shard's entry point
-            old_max = int(self._levels[s, : int(self._counts[s])].max()) \
-                if self._counts[s] else -1
-            if sel.size and int(lv_new[sel].max()) > old_max:
-                eps[s] = int(rows[np.argmax(lv_new[sel])])
             self._counts[s] += sel.size
         st["codes"] = dev(st["codes"])
         st["scales"] = dev(st["scales"])
         st["gids"] = dev(st["gids"])
-        st["eps"] = dev(jnp.asarray(eps))
+        # NOTE eps are NOT retargeted here even when a new node draws a
+        # new per-shard top level: a node becomes the entry point only
+        # AFTER its own insertion (below, per layer group). Swapping
+        # first points every wave's searches at an edge-less row — the
+        # beams never leave it and the old residents end up a directed
+        # island (measured: 30/30 unreachable after a 90-onto-30 move).
+        # The reference swaps ep after the insert too
+        # (hnsw/src/template.rs:403-440).
+        ep_lv = np.array([
+            int(self._levels[s, int(eps[s])]) for s in range(S)
+        ])
 
         # recompute per-layer in-degrees (not retained post-build), then
         # wave-insert the new homes per layer top-down
@@ -486,14 +525,30 @@ class ShardedHNSW:
         indegs = tuple(indeg_fn(a) for a in st["adjs"])
         adjs = st["adjs"]
 
+        # combined wave members: the new tail rows plus any existing rows
+        # the caller wants re-waved in place (rebalance orphans)
+        all_sh = np.asarray(shard_of, np.int64)
+        all_rows = local_of
+        all_lv = np.asarray(lv_new, np.int64)
+        if extra is not None:
+            all_sh = np.concatenate([all_sh, np.asarray(extra[0], np.int64)])
+            all_rows = np.concatenate(
+                [all_rows, np.asarray(extra[1], np.int64)]
+            )
+            all_lv = np.concatenate([all_lv, np.asarray(extra[2], np.int64)])
+
+        from ..build import _bucket, wave_schedule
+
         step = jax.jit(
             functools.partial(sharded_wave_step, self.mesh),
-            static_argnames=("ef", "m", "max_iters", "layer_nb", "extend_cands"),
+            static_argnames=(
+                "ef", "m", "max_iters", "layer_nb", "extend_cands", "dedup",
+            ),
         )
         max_iters = 2 * p.ef_cons + 16
         for layer_nb in range(top_new, -1, -1):
             homes = [
-                local_of[(shard_of == s) & (lv_new == layer_nb)].astype(np.int32)
+                all_rows[(all_sh == s) & (all_lv == layer_nb)].astype(np.int32)
                 for s in range(S)
             ]
             maxhome = max((h.size for h in homes), default=0)
@@ -512,9 +567,146 @@ class ShardedHNSW:
                     dev(jnp.asarray(ids_w)), st["eps"],
                     ef=p.ef_cons, m=p.m, max_iters=max_iters,
                     layer_nb=layer_nb, extend_cands=p.extend_cands,
+                    dedup=dedup,
                 )
+            # freshly-inserted top nodes anchor the REMAINING (lower)
+            # layer groups' descents (see the eps NOTE above)
+            ep_moved = False
+            for s in range(S):
+                if homes[s].size and layer_nb > ep_lv[s]:
+                    eps[s] = int(homes[s][0])
+                    ep_lv[s] = layer_nb
+                    ep_moved = True
+            if ep_moved:
+                st["eps"] = dev(jnp.asarray(eps.astype(np.int32)))
         st["adjs"] = adjs
-        return new_gids
+        return local_of
+
+    # -- rebalancing ---------------------------------------------------------
+
+    def rebalance(self, tol: float = 0.05, verbose: bool = False) -> int:
+        """Even out shard loads by MOVING points between sub-graphs.
+
+        Overloaded shards give up their TAIL rows (row storage stays
+        dense), the movers' in-edges are scrubbed on device
+        (:func:`_scrub_stacked`, compacted rows), alive nodes left
+        unreachable by the scrub — an emptied own row at any of their
+        layers, or layer-0 in-degree 0 — are re-inserted in place
+        (cascading until quiescent), and the movers are re-inserted
+        into the deficit shards with their global ids and levels
+        preserved: queries before and after see the same id space.
+        The reference has no analogue (single process,
+        ``hnsw/src/template.rs:422-439``); this is the scale-out
+        hardening SURVEY §2.6 implies. Returns the number of points
+        moved — 0 when the worst deviation is within ``tol`` of the
+        mean shard load.
+        """
+        if self._stacked is None:
+            raise ValueError("index is empty: call insert_bulk first")
+        S = self.n_shards
+        counts = self._counts.astype(np.int64)
+        total = int(counts.sum())
+        base, rem_n = divmod(total, S)
+        # the currently-largest shards keep the remainder: minimal movement
+        order = np.argsort(-counts, kind="stable")
+        target = np.full(S, base, np.int64)
+        target[order[:rem_n]] += 1
+        surplus = counts - target
+        n_move = int(surplus[surplus > 0].sum())
+        if n_move == 0 or int(np.abs(surplus).max()) <= tol * max(base, 1):
+            return 0
+        st = self._stacked
+        self._packed = None
+        self._pack_n = -1
+        ns = int(self._levels.shape[1])
+        shard = NamedSharding(self.mesh, P("shard"))
+        dev = lambda x: jax.device_put(jnp.asarray(x), shard)
+
+        # 1. movers = tail rows of every overloaded shard (tail keeps the
+        # surviving rows dense: alive rows are exactly [0, counts))
+        rem_rows = np.zeros((S, ns), bool)
+        mv_codes, mv_scales, mv_gids, mv_lv = [], [], [], []
+        for s in np.flatnonzero(surplus > 0):
+            k = int(surplus[s])
+            c0 = int(counts[s])
+            rem_rows[s, c0 - k : c0] = True
+            mv_codes.append(np.asarray(st["codes"][s, c0 - k : c0]))
+            mv_scales.append(np.asarray(st["scales"][s, c0 - k : c0]))
+            mv_gids.append(
+                np.asarray(st["gids"][s, c0 - k : c0]).astype(np.int64)
+            )
+            mv_lv.append(self._levels[s, c0 - k : c0].astype(np.int32))
+            self._levels[s, c0 - k : c0] = -1
+            self._counts[s] -= k
+        mv_codes = np.concatenate(mv_codes)
+        mv_scales = np.concatenate(mv_scales)
+        mv_gids = np.concatenate(mv_gids)
+        mv_lv = np.concatenate(mv_lv)
+        dst = np.empty(n_move, np.int64)
+        off = 0
+        for s in np.flatnonzero(surplus < 0):
+            k = int(-surplus[s])
+            dst[off : off + k] = s
+            off += k
+
+        # 2. device scrub: edges into movers die, mover rows are wiped,
+        # every row left-compacted; dead rows get neutral codes + gid -1
+        # so they can never look near nor surface a stale global id
+        rem_d = dev(rem_rows)
+        changed = np.zeros((S, ns), bool)
+        new_adjs = []
+        for a in st["adjs"]:
+            a, ch = _scrub_stacked(a, rem_d, rem_d)
+            new_adjs.append(a)
+            changed |= np.asarray(ch)
+        st["adjs"] = tuple(new_adjs)
+        st["gids"] = _mask_i32(st["gids"], rem_d)
+        st["codes"] = _zero_rows(st["codes"], rem_d)
+        st["scales"] = _zero_rows(st["scales"], rem_d)
+
+        # source shards whose entry point moved away pick a new one
+        eps = np.asarray(st["eps"]).copy()
+        for s in np.flatnonzero(surplus > 0):
+            c = int(self._counts[s])
+            if c and int(eps[s]) >= c:
+                eps[s] = int(np.argmax(self._levels[s, :c]))
+        st["eps"] = dev(eps.astype(np.int32))
+
+        # 3. repair set: every alive node the scrub touched (lost out-
+        # edges at any layer — including emptied rows) plus any node left
+        # with layer-0 in-degree 0 (unreachable; the ep is reachable by
+        # construction and exempt). They are re-waved IN PLACE: a fresh
+        # search + heuristic rebuilds their rows at full out-degree, with
+        # dedup=True guarding their surviving in-edges against row
+        # duplicates (see _apply_wave_impl). Without this, survivors of a
+        # heavy move serve permanently degraded rows — measured as a
+        # 1.0 -> 0.95 recall drop at a 37% move.
+        eprows = np.zeros((S, ns), bool)
+        eprows[np.arange(S), eps.astype(np.int64)] = True
+        need = changed | (
+            np.asarray(_indeg_stacked(st["adjs"][0]) == 0) & ~eprows
+        )
+        need &= self._levels >= 0
+        extra = None
+        o_s, o_r = np.nonzero(need)
+        if o_s.size:
+            extra = (
+                o_s.astype(np.int64), o_r.astype(np.int64),
+                self._levels[o_s, o_r].astype(np.int64),
+            )
+        if verbose:
+            print(
+                f"rebalance: moving {n_move} points "
+                f"({int(surplus[surplus > 0].max())} max surplus), "
+                f"re-waving {o_s.size} scrub-affected rows"
+            )
+
+        # 4. one shared insert pass: movers into the deficit shards (new
+        # tail rows, preserved gids/levels) + repairs in place
+        self._insert_rows(
+            mv_codes, mv_scales, mv_gids, mv_lv, dst, extra=extra, dedup=True
+        )
+        return n_move
 
     # -- serving layouts ---------------------------------------------------
 
@@ -578,7 +770,10 @@ class ShardedHNSW:
                 else None
             )
             if reps is not None:
+                # drop representatives whose rows no longer live here
+                # (rebalance moves tail rows; shards[] hints are static)
                 reps = np.asarray(reps, np.int64)
+                reps = reps[reps < k]
                 if reps.size > pivots:
                     reps = reps[np.unique(
                         np.linspace(0, reps.size - 1, pivots)
@@ -728,6 +923,47 @@ class ShardedHNSW:
                 st["eps"], q, ef=ef, k=n, max_iters=max_iters,
             )
         return np.asarray(d), np.asarray(i)
+
+
+@jax.jit
+def _scrub_stacked(a, rem_edges, rem_rows):
+    """Rebalance scrub over stacked adjacency ``a`` int32[S, ns, cap]:
+    drop every edge pointing INTO a ``rem_edges`` row, wipe ``rem_rows``
+    own rows entirely, then left-compact each row with a STABLE sort on
+    validity — within-row order is distance-sorted and must survive
+    (slot 0 is "nearest" for ``_apply_wave_impl``'s orphan repair).
+    Returns (adjacency, changed) where ``changed`` bool[S, ns] marks the
+    SURVIVING rows that lost at least one edge (rebalance's repair set)."""
+    S, ns, cap = a.shape
+    safe = jnp.clip(a, 0, ns - 1).reshape(S, ns * cap)
+    bad = jnp.take_along_axis(rem_edges, safe, axis=1).reshape(S, ns, cap)
+    bad = jnp.logical_and(a >= 0, bad)
+    changed = jnp.logical_and(jnp.any(bad, axis=-1), ~rem_rows)
+    a = jnp.where(bad, jnp.int32(-1), a)
+    a = jnp.where(rem_rows[:, :, None], jnp.int32(-1), a)
+    key = (a < 0).astype(jnp.int32)
+    _, a = jax.lax.sort((key, a), dimension=-1, num_keys=1, is_stable=True)
+    return a, changed
+
+
+@jax.jit
+def _indeg_stacked(a):
+    """int32[S, ns]: per-shard in-degree of every local row."""
+    S, ns, cap = a.shape
+    flat = jnp.where(a >= 0, a, ns).reshape(S, ns * cap)
+    z = jnp.zeros((S, ns + 1), jnp.int32)
+    z = z.at[jnp.arange(S)[:, None], flat].add(1, mode="drop")
+    return z[:, :ns]
+
+
+@jax.jit
+def _mask_i32(x, rem):
+    return jnp.where(rem, jnp.int32(-1), x)
+
+
+@jax.jit
+def _zero_rows(x, rem):
+    return jnp.where(rem[:, :, None], jnp.zeros((), x.dtype), x)
 
 
 _sharded_query_jit = functools.partial(

@@ -29,6 +29,7 @@ from __future__ import annotations
 import collections
 import os
 import struct
+import threading
 
 import numpy as np
 
@@ -95,6 +96,10 @@ class BlockStore:
         self.nb_blocks = (size - FILE_HEADER) // self._block_bytes
         self._cache: collections.OrderedDict[int, tuple] = collections.OrderedDict()
         self._cache_blocks = cache_blocks
+        # the LRU is shared with HybridPagedHNSW's speculative prefetch
+        # thread (models/paged.py) — guard mutation; the lock is cheap
+        # next to the positioned read it protects
+        self._cache_lock = threading.Lock()
         # count of points in the last block
         _, _, lv = self._load_block(self.nb_blocks - 1)
         self._n = (self.nb_blocks - 1) * self.max_per_block + lv.shape[0]
@@ -118,17 +123,19 @@ class BlockStore:
 
     def _load_block(self, block_id: int):
         """Block (codes, scales, levels), via the LRU cache."""
-        hit = self._cache.get(block_id)
-        if hit is not None:
-            self._cache.move_to_end(block_id)
-            return hit
+        with self._cache_lock:
+            hit = self._cache.get(block_id)
+            if hit is not None:
+                self._cache.move_to_end(block_id)
+                return hit
         raw = self._read_bytes(self._block_offset(block_id), self._block_bytes)
         bid, nb_points, ps = struct.unpack("<HHH", raw[:BLOCK_HEADER].tobytes())
         rec = raw[BLOCK_HEADER:].reshape(self.max_per_block, self.point_size)
         out = _decode_records(rec[:nb_points], self.dim)
-        self._cache[block_id] = out
-        if len(self._cache) > self._cache_blocks:
-            self._cache.popitem(last=False)
+        with self._cache_lock:
+            self._cache[block_id] = out
+            if len(self._cache) > self._cache_blocks:
+                self._cache.popitem(last=False)
         return out
 
     def get_point(self, idx: int):

@@ -119,3 +119,53 @@ def test_hybrid_paged_matches_in_memory_seeded(tmp_path):
     assert hot_tiny.misses > 0  # cold rows actually paged
     np.testing.assert_array_equal(i_t, i_mem)
     np.testing.assert_allclose(d_t, d_mem, rtol=1e-5, atol=1e-5)
+
+
+def test_hybrid_expand_e_fewer_dispatches_equal_recall(tmp_path):
+    # expand_e>1 pops E beam entries per device round-trip
+    # (search._beam_loop body_e semantics): the discovered set is a
+    # superset of an E=1 prefix, so recall vs exact truth cannot drop,
+    # and dispatches/batch must shrink ~E-fold.
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.paged import HybridPagedHNSW, save_paged
+    from hnsw_rs_tpu.utils import brute_force_nns as _bf
+
+    n, d, k = 900, 16, 10
+    vecs = gen_rand_vecs(n, d, seed=31)
+    queries = gen_rand_vecs(24, d, seed=32)
+    index = HNSW(8, ef_cons=32, dim=d)
+    index.insert_bulk(vecs)
+    index.finalize(pivots=4096)
+    path = str(tmp_path / "hyb_e")
+    save_paged(index, path)
+    wrow = index.graph.get_layer(0).shape[1] * (d + 12)
+    hyb = HybridPagedHNSW(path, hot_bytes=(n // 10) * wrow, pivots=4096)
+
+    # quantized-space exact truth (what the index can at best return)
+    qc, qs = quantize(jnp.asarray(queries))
+    qdq = np.asarray(dequantize(qc, qs))
+    cdq = np.asarray(dequantize(jnp.asarray(index.points.codes[:n]),
+                                jnp.asarray(index.points.scales[:n])))
+    truth = np.argsort(
+        ((cdq[None, :, :] - qdq[:, None, :]) ** 2).sum(-1), axis=1
+    )[:, :k]
+
+    def recall(ids):
+        return np.mean([len(set(a) & set(t)) / k for a, t in zip(ids, truth)])
+
+    _, i1 = hyb.ann_batch(queries, k, 48, expand_e=1)
+    disp1 = hyb.dispatches
+    _, i4 = hyb.ann_batch(queries, k, 48, expand_e=4)
+    disp4 = hyb.dispatches
+    assert disp4 < disp1 / 2
+    assert recall(i4) >= recall(i1) - 1e-9
+
+    # speculative prefetch only warms caches: results are bit-identical
+    # and the lookahead rows actually get served from the row cache
+    pf = HybridPagedHNSW(path, hot_bytes=(n // 10) * wrow, pivots=4096,
+                         prefetch=8)
+    d1, j1 = hyb.ann_batch(queries, k, 48)
+    d2, j2 = pf.ann_batch(queries, k, 48)
+    np.testing.assert_array_equal(j1, j2)
+    np.testing.assert_allclose(d1, d2, rtol=0, atol=0)
+    assert pf.prefetch_hits > 0, "lookahead never hit the row cache"
