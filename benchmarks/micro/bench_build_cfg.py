@@ -44,6 +44,8 @@ p.add_argument("--pool-approx", action="store_true",
                help="cluster pool via lax.approx_max_k")
 p.add_argument("--ppc", type=int, default=256, help="cluster points-per-cluster")
 p.add_argument("--pool-p", type=int, default=512)
+p.add_argument("--fanout", type=int, default=12,
+               help="cluster candidate-pool fanout (nearest clusters)")
 p.add_argument("--batch-queries", type=int, default=4096)
 p.add_argument("--pivots", type=int, default=8192)
 p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
@@ -66,13 +68,14 @@ kw = dict(
     cluster_build=a.cluster,
     cluster_kwargs=dict(
         pool_approx=a.pool_approx, points_per_cluster=a.ppc,
-        pool_p=a.pool_p, batch_queries=a.batch_queries,
+        pool_p=a.pool_p, batch_queries=a.batch_queries, fanout=a.fanout,
     ) if a.cluster else None,
 )
 tag = a.tag or (
     f"mi={a.mi} efc={a.efc}"
     + (" seeded" if a.seeded else "")
     + (" cluster" if a.cluster else "")
+    + (f" fan={a.fanout}" if a.fanout != 12 else "")
     + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
     + (" wsort" if a.wave_sort else "")
     + (f" wcap={a.wave_cap}" if a.wave_cap != 4096 else "")

@@ -32,7 +32,9 @@ def main() -> None:
     from hnsw_rs_tpu.ops.quant import dequantize, quantize
     from hnsw_rs_tpu.utils.datasets import synthetic_heavy_tailed
 
-    N, D, K, M, EF_CONS, NQ, PIVOTS = 1_000_000, 96, 10, 24, 128, 1024, 16384
+    N, D, K, M, EF_CONS, NQ = 1_000_000, 96, 10, 24, 128, 1024
+    PIVOTS = int(os.environ.get("DIAG_PIVOTS", "16384"))
+    COVER = float(os.environ.get("DIAG_COVER", "0.25"))
     cache = os.path.join(ROOT, ".bench_cache")
     tag = f"ht_n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
@@ -44,10 +46,10 @@ def main() -> None:
     truth = np.load(gt_path)["ids"]
     truth_sets = [set(t) for t in truth]
 
-    index.finalize(pivots=PIVOTS)
+    index.finalize(pivots=PIVOTS, pivot_cover=COVER)
     packed0 = index._packed0
     pivot_ids, pivot_vecs = index._pivots
-    print(f"pivots: {pivot_ids.shape[0]} "
+    print(f"pivots: {pivot_ids.shape[0]} cover={COVER} "
           f"(cluster reps: {0 if index._cluster_pivots is None else len(index._cluster_pivots)})",
           flush=True)
     q1k = dequantize(*quantize(jnp.asarray(ds.test)))

@@ -432,6 +432,8 @@ class HNSW:
         pq_iters: int = 12,
         pq_rerank: int = 0,
         pq_opq: bool = False,
+        pivot_fill: str = "cover",
+        pivot_cover: float = 0.25,
     ) -> "HNSW":
         """Build the packed-neighbor serving layout for layer 0.
 
@@ -454,6 +456,19 @@ class HNSW:
         matmul against them, and the top-ef seed the layer-0 beam —
         replacing the serial upper-layer descent. Recall per ef is
         typically equal or better at materially fewer beam iterations.
+        ``pivot_fill="cover"`` (default) reserves a ``pivot_cover``
+        fraction of the budget for device k-center picks over the
+        stored points (structural picks — level>=1 pool + cluster
+        representatives — are capped at the remainder): coverage of the
+        low-density regions density-proportional sampling starves — the
+        heavy-tailed fix, ``ops/cover.py``. Size ``pivot_cover`` to the
+        data's blob granularity: every natural cluster needs a seed, so
+        ``budget * pivot_cover`` should be >= the number of natural
+        clusters not already holding a structural pivot
+        (benchmarks/micro/diag_heavy_tailed.py measures this).
+        ``pivot_fill="stride"`` = structural picks to the full budget,
+        then evenly-strided ids (the density-proportional round-2
+        behavior; ``pivot_cover`` is ignored).
 
         ``pq_m`` > 0 (requires ``pivots`` > 0) enables the PQ-coded
         serving mode instead: a product quantizer with ``pq_m``
@@ -544,25 +559,36 @@ class HNSW:
             self._packed_n = len(self)
         self.serve_expand = int(expand)
         if pivots > 0 and len(self) > 0:
+            budget = min(pivots, len(self))
+            # structural picks (levels / cluster reps) are capped at
+            # (1 - pivot_cover) of the budget under pivot_fill="cover":
+            # both pools are density-proportional, and when they consume
+            # the whole budget the coverage fill never runs — exactly
+            # the measured heavy-tailed failure (tail queries' best seed
+            # ~3x further than the true NN, diag_heavy_tailed.py). The
+            # reserved share goes to k-center picks over the points.
+            cap = budget if pivot_fill == "stride" else max(
+                1, budget - int(round(budget * float(pivot_cover)))
+            )
             levels = np.asarray(self.points.levels[: len(self)])
-            # smallest level whose member count fits the budget; then an
+            # smallest level whose member count fits the cap; then an
             # even deterministic subsample if even level 1 is too big
             ids = None
             for lv in range(int(levels.max()), 0, -1):
                 cand = np.flatnonzero(levels >= lv)
-                if cand.size >= min(pivots, len(self)) or lv == 1:
+                if cand.size >= min(cap, len(self)) or lv == 1:
                     ids = cand
                     break
             if ids is None or ids.size == 0:  # single-layer graph
                 ids = np.arange(len(self))
-            if ids.size > pivots:
-                # exactly `pivots` evenly-spaced picks (dedup-safe: size >
-                # pivots makes the rounded linspace strictly increasing
+            if ids.size > cap:
+                # exactly `cap` evenly-spaced picks (dedup-safe: size >
+                # cap makes the rounded linspace strictly increasing
                 # often enough; duplicates are removed and the budget is
                 # still met within a couple of ids) — a ceil-stride slice
                 # can undershoot the configured budget by ~2x
                 pick = np.unique(
-                    np.linspace(0, ids.size - 1, pivots).round().astype(np.int64)
+                    np.linspace(0, ids.size - 1, cap).round().astype(np.int64)
                 )
                 ids = ids[pick]
             if self._cluster_pivots is not None:
@@ -573,35 +599,52 @@ class HNSW:
                 # collapses whose best seed sat ~28x further than the true
                 # NN). The build's per-cluster representatives cover every
                 # region BY CONSTRUCTION: seed from them first, topping up
-                # with the level-based picks to the budget.
+                # with the level-based picks to the cap.
                 reps = np.asarray(self._cluster_pivots, np.int64)
-                if reps.size > pivots:
+                if reps.size > cap:
                     pick = np.unique(
-                        np.linspace(0, reps.size - 1, pivots)
+                        np.linspace(0, reps.size - 1, cap)
                         .round().astype(np.int64)
                     )
                     reps = reps[pick]
                 seen = set(reps.tolist())
                 extra = [i for i in np.asarray(ids).tolist()
-                         if i not in seen][: max(0, pivots - reps.size)]
+                         if i not in seen][: max(0, cap - reps.size)]
                 ids = np.concatenate([reps, np.asarray(extra, np.int64)])
-            if ids.size < min(pivots, len(self)):
-                # FILL the budget with evenly-strided layer-0 ids: the
-                # level>=1 pool alone can be far smaller than the budget
-                # (833 nodes at 20k/M=24 vs a 4096 request — the budget
-                # silently went unfilled), and level sampling leaves
-                # whole micro-regions seedless: measured as whole-query
-                # recall losses whose best seed sat ~28x further than
-                # the true neighbor (DEVNOTES round-3)
-                stride = np.linspace(
-                    0, len(self) - 1, min(pivots, len(self))
-                ).round().astype(np.int64)
-                seen2 = set(np.asarray(ids).tolist())
-                fill = [i for i in stride.tolist() if i not in seen2]
-                ids = np.concatenate([
-                    np.asarray(ids, np.int64),
-                    np.asarray(fill[: pivots - ids.size], np.int64),
-                ])
+            if ids.size < budget:
+                # FILL the budget: the level>=1 pool alone can be far
+                # smaller than the budget (833 nodes at 20k/M=24 vs a
+                # 4096 request — the budget silently went unfilled), and
+                # level sampling leaves whole micro-regions seedless:
+                # measured as whole-query recall losses whose best seed
+                # sat ~28x further than the true neighbor (DEVNOTES
+                # round-3).
+                need = budget - ids.size
+                if pivot_fill == "cover":
+                    # k-center fill (ops/cover.py): picks the points
+                    # FARTHEST from the current pivot set, covering
+                    # low-density regions density-proportional sampling
+                    # starves (the heavy-tailed 1M failure mode:
+                    # benchmarks/micro/diag_heavy_tailed.py)
+                    from ..ops.cover import kcenter_fill
+
+                    x = dequantize(
+                        self.points.codes[: len(self)],
+                        self.points.scales[: len(self)],
+                    )
+                    fill = kcenter_fill(x, np.asarray(ids, np.int64), need)
+                else:  # "stride": evenly-strided layer-0 ids
+                    stride = np.linspace(
+                        0, len(self) - 1, budget
+                    ).round().astype(np.int64)
+                    seen2 = set(np.asarray(ids).tolist())
+                    fill = np.asarray(
+                        [i for i in stride.tolist() if i not in seen2][
+                            :need
+                        ],
+                        np.int64,
+                    )
+                ids = np.concatenate([np.asarray(ids, np.int64), fill])
             ids = jnp.asarray(np.asarray(ids).astype(np.int32))
             vecs = dequantize(self.points.codes[ids], self.points.scales[ids])
             self._pivots = (ids, vecs)
