@@ -710,14 +710,23 @@ class ShardedHNSW:
 
     # -- serving layouts ---------------------------------------------------
 
-    def finalize(self, expand: int = 1, pivots: int = 2048) -> "ShardedHNSW":
+    def finalize(
+        self, expand: int = 1, pivots: int = 2048,
+        pivot_fill: str = "cover", pivot_cover: float = 0.25,
+    ) -> "ShardedHNSW":
         """Build the packed + pivot-seeded serving state per shard — the
         single-chip round-2 serving stack (``HNSW.finalize``) scaled out:
         each shard gets packed layer-0 rows and its own pivot skeleton
         (its highest-level nodes, evenly subsampled to ``pivots``). A
         stale pack (after :meth:`add`) is detected and bypassed, never
         served. ``pivots`` is per shard and must be > 0 (the seeded path
-        replaces upper-layer descent at query time)."""
+        replaces upper-layer descent at query time).
+
+        ``pivot_fill``/``pivot_cover`` mirror ``HNSW.finalize``: under
+        ``"cover"`` (default) each shard's structural picks are capped at
+        ``(1 - pivot_cover)`` of the budget and the rest are k-center
+        coverage picks — computed for ALL shards in ONE shard_map'd
+        device program (``ops/cover._kcenter`` inlined per shard)."""
         if self._stacked is None:
             raise ValueError("index is empty: call insert_bulk first")
         if pivots <= 0:
@@ -726,6 +735,9 @@ class ShardedHNSW:
             return self
         st = self._stacked
         S = self.n_shards
+        cap = pivots if pivot_fill == "stride" else max(
+            1, pivots - int(round(pivots * float(pivot_cover)))
+        )
 
         pack_fn = jax.jit(
             jax.shard_map(
@@ -746,20 +758,21 @@ class ShardedHNSW:
         # seedless — the measured whole-query recall failure mode,
         # DEVNOTES round-3)
         pid = np.full((S, pivots), -1, np.int32)
+        need = np.zeros(S, np.int64)
         for s in range(S):
             k = int(self._counts[s])
             lv = self._levels[s, :k]
             ids = None
             for level in range(int(lv.max()) if k else 0, 0, -1):
                 cand = np.flatnonzero(lv >= level)
-                if cand.size >= min(pivots, k) or level == 1:
+                if cand.size >= min(cap, k) or level == 1:
                     ids = cand
                     break
             if ids is None or ids.size == 0:
                 ids = np.arange(k)
-            if ids.size > pivots:
+            if ids.size > cap:
                 pick = np.unique(
-                    np.linspace(0, ids.size - 1, pivots).round().astype(np.int64)
+                    np.linspace(0, ids.size - 1, cap).round().astype(np.int64)
                 )
                 ids = ids[pick]
             reps = (
@@ -774,18 +787,18 @@ class ShardedHNSW:
                 # (rebalance moves tail rows; shards[] hints are static)
                 reps = np.asarray(reps, np.int64)
                 reps = reps[reps < k]
-                if reps.size > pivots:
+                if reps.size > cap:
                     reps = reps[np.unique(
-                        np.linspace(0, reps.size - 1, pivots)
+                        np.linspace(0, reps.size - 1, cap)
                         .round().astype(np.int64)
                     )]
                 seen = set(reps.tolist())
                 extra = [i for i in ids.tolist() if i not in seen]
                 ids = np.concatenate([
-                    reps, np.asarray(extra[: max(0, pivots - reps.size)],
+                    reps, np.asarray(extra[: max(0, cap - reps.size)],
                                      np.int64),
                 ])
-            if ids.size < min(pivots, k):
+            if ids.size < min(pivots, k) and pivot_fill == "stride":
                 stride = np.linspace(0, k - 1, min(pivots, k)).round() \
                     .astype(np.int64)
                 seen2 = set(ids.tolist())
@@ -794,7 +807,10 @@ class ShardedHNSW:
                     np.asarray(ids, np.int64),
                     np.asarray(fill[: pivots - ids.size], np.int64),
                 ])
+            need[s] = min(pivots, k) - ids.size
             pid[s, : ids.size] = ids
+        if pivot_fill == "cover" and int(need.max()) > 0:
+            pid = self._cover_fill_sharded(pid, need)
         shard = NamedSharding(self.mesh, P("shard"))
         pid_d = jax.device_put(jnp.asarray(pid), shard)
 
@@ -819,6 +835,95 @@ class ShardedHNSW:
         self._pack_n = len(self)
         self.serve_expand = int(expand)
         return self
+
+    def _cover_fill_sharded(
+        self, pid: np.ndarray, need: np.ndarray, batch: int = 256
+    ) -> np.ndarray:
+        """k-center coverage fill for every shard's pivot budget in ONE
+        shard_map'd device program (``ops/cover._kcenter`` inlined per
+        shard — the single-chip ``HNSW.finalize(pivot_fill="cover")``
+        scaled out). ``pid`` int32[S, pivots] structural picks (-1 pad),
+        ``need`` int64[S] per-shard fill counts; returns ``pid`` with the
+        coverage picks appended per row."""
+        from ..ops.cover import _ROWS, _kcenter
+
+        st = self._stacked
+        S = self.n_shards
+        ns = int(st["codes"].shape[1])
+        pivots = pid.shape[1]
+        batch = int(min(batch, max(1, int(need.max()))))
+        budget = -(-int(need.max()) // batch) * batch
+        pb = -(-pivots // batch) * batch
+        rows = min(_ROWS, ns)
+        c = -(-ns // rows)
+        n_pad = c * rows
+
+        def body(codes, scales, pids, cnt):
+            x = dequantize(codes[0], scales[0])  # [ns, d]
+            d = x.shape[1]
+            if n_pad > ns:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((n_pad - ns, d), jnp.float32)]
+                )
+            # pad rows AND rows beyond this shard's count start at -inf:
+            # the running min never resurrects them, so top_k (max) can
+            # only pick live rows
+            alive = jnp.arange(n_pad) < cnt[0]
+            mind0 = jnp.where(alive, jnp.inf, -jnp.inf).astype(
+                jnp.float32
+            ).reshape(c, rows)
+            pr = pids[0]
+            bv = x[jnp.clip(pr, 0, ns - 1)]
+            if pb > pivots:
+                bv = jnp.concatenate(
+                    [bv, jnp.zeros((pb - pivots, d), jnp.float32)]
+                )
+            bvalid = jnp.concatenate(
+                [pr >= 0, jnp.zeros((pb - pivots,), jnp.bool_)]
+            )
+            picks = _kcenter(
+                x.reshape(c, rows, d), bv, bvalid, mind0, budget, batch
+            )
+            return picks[None]
+
+        fill_fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )
+        shard = NamedSharding(self.mesh, P("shard"))
+        picks = np.asarray(
+            fill_fn(
+                st["codes"],
+                st["scales"],
+                jax.device_put(jnp.asarray(pid), shard),
+                jax.device_put(
+                    jnp.asarray(self._counts.astype(np.int32)), shard
+                ),
+            )
+        )
+        pid = pid.copy()
+        for s in range(S):
+            if need[s] <= 0:
+                continue
+            k = int(self._counts[s])
+            have = set(pid[s][pid[s] >= 0].tolist())
+            take = []
+            for p in picks[s].tolist():
+                # drop picks past the shard's live rows (budget is the
+                # max over shards) and exact-duplicate degenerate picks
+                if p < k and p not in have:
+                    have.add(p)
+                    take.append(p)
+                    if len(take) == int(need[s]):
+                        break
+            base = int((pid[s] >= 0).sum())
+            pid[s, base : base + len(take)] = take
+        return pid
 
     # -- persistence -------------------------------------------------------
 

@@ -164,3 +164,32 @@ def test_sharded_add_balances_shards():
     # round-robin from least-loaded: spread stays within 1 of each other
     # relative to the pre-add spread
     assert int(after.max() - after.min()) <= int(before.max() - before.min()) + 1
+
+
+def test_sharded_cover_fill_pivots():
+    """finalize(pivot_fill="cover") fills each shard's pivot budget with
+    one shard_map'd k-center program: budgets met (min(pivots, count)),
+    no duplicates, no dead rows, and seeded recall holds (the sharded
+    analogue of HNSW.finalize's coverage fill, ops/cover.py)."""
+    vecs = gen_rand_vecs(480, DIM, seed=7)
+    queries = gen_rand_vecs(24, DIM, seed=8)
+    mesh = make_mesh(n_data=1, n_shard=4)
+    sharded = ShardedHNSW(M, DIM, n_shards=4, mesh=mesh)
+    # skewed placement: per-shard budgets differ (64/64/50/30)
+    sharded.insert_bulk(
+        vecs, concurrent=False, partition_bounds=[0, 300, 400, 450, 480]
+    )
+    flat = FlatIndex(DIM)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+
+    sharded.finalize(pivots=64, pivot_cover=0.5)
+    pid = np.asarray(sharded._packed[1])
+    for s, row in enumerate(pid):
+        live = row[row >= 0]
+        k = int(sharded._counts[s])
+        assert live.size == min(64, k), (s, live.size, k)
+        assert np.unique(live).size == live.size
+        assert live.max(initial=0) < k
+    _, ids = sharded.ann_batch(queries, 10, 60)
+    assert _recall(ids, truth) > 0.9
