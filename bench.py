@@ -131,8 +131,9 @@ def main() -> None:
     # cheapest (ef, max_iters) clearing the 0.99 recall gate, in
     # ascending cost order (cost ~ max_iters; see DEVNOTES gather floor)
     cands = [
-        (40, 24), (48, 24), (48, 28), (48, 32), (64, 40), (64, 56),
-        (96, 80), (128, 112), (192, 200), (256, 280),
+        (16, 8), (24, 10), (24, 12), (32, 16), (40, 20), (40, 24),
+        (48, 24), (48, 28), (48, 32), (64, 40), (64, 56), (96, 80),
+        (128, 112), (192, 200), (256, 280),
     ]
     chosen = None
     for ef, mi in cands:
