@@ -100,6 +100,10 @@ def main() -> None:
     # single-core CPU baseline (measured on a 50k slice; the full-N
     # sequential build would take hours of bench budget). Rates fall
     # slowly with N, so a 50k-slice rate FLATTERS the baseline — fine.
+    # CAUTION: this host has ONE core (nproc=1); any concurrent python
+    # process (pytest, another bench) halves-to-tenths this measurement
+    # and silently INFLATES the reported x-factor. Idle-measured truth
+    # at M=24/efc=128/d=96: ~940 vec/s (2 trials within 0.4%).
     if "cpu_build_vps" not in meta:
         from hnsw_rs_tpu.native import baseline_build_rate
 

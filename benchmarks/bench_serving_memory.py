@@ -146,7 +146,8 @@ def main() -> None:
 
     hier_cands = [(64, 80), (96, 120), (128, 160), (128, 280), (192, 420),
                   (256, 560)]
-    seed_cands = [(40, 24), (48, 28), (48, 32), (64, 40), (64, 56), (96, 80),
+    seed_cands = [(16, 8), (24, 10), (24, 12), (32, 16), (40, 20), (40, 24),
+                  (48, 28), (48, 32), (64, 40), (64, 56), (96, 80),
                   (128, 112), (192, 200)]
 
     rows = [
