@@ -87,21 +87,37 @@ def main() -> None:
     b_packed = N * cap0 * (D + 12)
     raw_base = b_codes + b_adj  # "raw index memory" denominator
 
-    index.finalize(pivots=PIVOTS)
-    packed0 = index._packed0
-    pivot_ids, pivot_vecs = index._pivots
-    b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
-    adjs = tuple(index.graph.adjs)
-    adj0 = index.graph.get_layer(0)
+    pq_only = "--pq-only" in sys.argv
     codes, scales = index.points.codes, index.points.scales
-    f32 = dequantize(codes, scales)
     ep = jnp.asarray(index.params.ep, jnp.int32)
+    if not pq_only:
+        index.finalize(pivots=PIVOTS)
+        packed0 = index._packed0
+        pivot_ids, pivot_vecs = index._pivots
+        adjs = tuple(index.graph.adjs)
+        adj0 = index.graph.get_layer(0)
+        f32 = dequantize(codes, scales)
+        b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
 
     batch = 32768
     big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
     qbig = dequantize(*quantize(jnp.asarray(big)))
 
-    def measure(name, fn, arrs, bytes_total, cands):
+    out_path = os.path.join(ROOT, "benchmarks", "SERVING_MEMORY.json")
+
+    def write_out(rows):
+        out = {
+            "n": N, "d": D, "m": M, "ef_cons": EF_CONS, "k": K,
+            "pivots": PIVOTS,
+            "raw_index_bytes_per_point": round(raw_base / N, 1),
+            "batch": batch,
+            "rows": rows,
+        }
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {out_path} ({len(rows)} rows)")
+
+    def measure(name, fn, arrs, bytes_total, cands, qb=None):
         # fn(arrs, q, ef, mi) -> (d, ids); arrs is a tuple of device
         # arrays passed as jit ARGUMENTS (closure capture bakes them into
         # the HLO as constants and the dev tunnel's remote compiler
@@ -124,13 +140,14 @@ def main() -> None:
             d, i = fn(arrs, q, ef, mi)
             return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
-        int(search_sum(arrs, qbig, ef, mi))
+        qb = qbig if qb is None else qb
+        int(search_sum(arrs, qb, ef, mi))
         t0 = time.time()
         iters = 0
         while time.time() - t0 < 4.0 or iters < 3:
-            int(search_sum(arrs, qbig, ef, mi))
+            int(search_sum(arrs, qb, ef, mi))
             iters += 1
-        qps = batch * iters / (time.time() - t0)
+        qps = qb.shape[0] * iters / (time.time() - t0)
         row = {
             "mode": name,
             "bytes_per_point": round(bytes_total / N, 1),
@@ -150,7 +167,14 @@ def main() -> None:
                   (48, 28), (48, 32), (64, 40), (64, 56), (96, 80),
                   (128, 112), (192, 200)]
 
-    rows = [
+    if pq_only and os.path.exists(out_path):
+        with open(out_path) as f:
+            rows = [r for r in json.load(f)["rows"] if not
+                    r["mode"].startswith("pq")]
+    elif pq_only:
+        rows = []
+    if not pq_only:
+        rows = [
         measure(
             "raw",
             lambda a, q, ef, mi: _ann_jit(a[0], a[1], a[2], q, a[3], ef, K, mi),
@@ -192,21 +216,27 @@ def main() -> None:
             b_codes + b_adj + b_packed + b_piv,
             seed_cands,
         ),
-    ]
+        ]
+        write_out(rows)  # crash-safe: the PQ mode below has OOM-killed
+        # the TPU worker at 1M (silent-OOM class, DEVNOTES "usable HBM")
 
     # PQ-coded mode replaces the exact pack — free it first (both packs
     # cannot be HBM-resident at 1M: 5.2 GB + 1.7 GB + base tables > HBM).
-    # Also drop the f32 table + adjacency aliases the earlier modes held:
-    # keeping them alongside the PQ pack crashed the TPU worker at 1M
-    # (silent-OOM kill class, DEVNOTES "usable HBM")
-    del packed0, f32, adj0, adjs
-    index._f32_table = None
-    index._f32_n = -1
-    index._packed0 = None
-    index._packed_n = -1
+    # Also drop the f32 table + adjacency aliases the earlier modes held.
+    # Even so, the 32k-query timing batch OOM-killed the TPU worker at 1M
+    # in the same process as the base modes (silent-OOM class, DEVNOTES
+    # "usable HBM") — run `--pq-only` in a FRESH process, which also
+    # shrinks the timing batch to 8k queries.
+    if not pq_only:
+        del packed0, f32, adj0, adjs
+        index._f32_table = None
+        index._f32_n = -1
+        index._packed0 = None
+        index._packed_n = -1
     index.finalize(pivots=PIVOTS, pq_m=24)
     cb, pq_codes, packed_pq, _rot = index._pq
     pivot_ids, pivot_vecs = index._pivots
+    b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
     b_pq = int(packed_pq.size + pq_codes.size + cb.size * 4)
     rows.append(
         measure(
@@ -218,18 +248,10 @@ def main() -> None:
             (packed_pq, cb, pq_codes, pivot_ids, pivot_vecs, codes, scales),
             b_codes + b_adj + b_pq + b_piv,
             seed_cands + [(256, 280)],
+            qb=qbig[:8192] if pq_only else None,
         )
     )
-    out = {
-        "n": N, "d": D, "m": M, "ef_cons": EF_CONS, "k": K,
-        "pivots": int(pivot_ids.shape[0]),
-        "raw_index_bytes_per_point": round(raw_base / N, 1),
-        "batch": batch,
-        "rows": rows,
-    }
-    with open(os.path.join(ROOT, "benchmarks", "SERVING_MEMORY.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote benchmarks/SERVING_MEMORY.json")
+    write_out(rows)
 
 
 if __name__ == "__main__":
