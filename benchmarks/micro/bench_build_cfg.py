@@ -47,6 +47,7 @@ p.add_argument("--pool-p", type=int, default=512)
 p.add_argument("--fanout", type=int, default=12,
                help="cluster candidate-pool fanout (nearest clusters)")
 p.add_argument("--batch-queries", type=int, default=4096)
+p.add_argument("--kmeans-iters", type=int, default=4)
 p.add_argument("--pivots", type=int, default=8192)
 p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
 p.add_argument("--lag", type=int, default=1)
@@ -69,6 +70,7 @@ kw = dict(
     cluster_kwargs=dict(
         pool_approx=a.pool_approx, points_per_cluster=a.ppc,
         pool_p=a.pool_p, batch_queries=a.batch_queries, fanout=a.fanout,
+        kmeans_iters=a.kmeans_iters,
     ) if a.cluster else None,
 )
 tag = a.tag or (
@@ -76,6 +78,8 @@ tag = a.tag or (
     + (" seeded" if a.seeded else "")
     + (" cluster" if a.cluster else "")
     + (f" fan={a.fanout}" if a.fanout != 12 else "")
+    + (f" pp={a.pool_p}" if a.pool_p != 512 else "")
+    + (f" ki={a.kmeans_iters}" if a.kmeans_iters != 4 else "")
     + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
     + (" wsort" if a.wave_sort else "")
     + (f" wcap={a.wave_cap}" if a.wave_cap != 4096 else "")
@@ -104,7 +108,7 @@ _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
 )
 truth = [set(t) for t in np.asarray(ti)[:, :K]]
 idx.finalize(pivots=a.pivots)
-for ef, mi_q in ((40, 24), (48, 32), (64, 56), (96, 80)):
+for ef, mi_q in ((16, 8), (24, 12), (40, 24), (48, 32), (64, 56), (96, 80)):
     _, ann = _ann_seeded_jit(
         idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
     )
