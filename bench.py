@@ -81,9 +81,16 @@ def main() -> None:
             # cluster-bulk build (build_cluster.py): the measured-fastest
             # builder — wave-free, recall-gated by this very benchmark's
             # >=0.99 serving gate below
+            # pool_p/fanout: the measured build-rate frontier at unchanged
+            # serving recall (benchmarks/micro/bench_build_cfg ladder,
+            # DEVNOTES "cluster-build config sweep"): 256/12 -> 9,014
+            # vec/s; 96/5 -> 23,211 vec/s (2.6x) at the same 0.9977
+            # recall@10 (ef=16/mi=8) on this regime. kmeans_iters=2
+            # was measured NO faster (tunnel variance) and costs margin.
             idx.insert_bulk(
                 ds.train, cluster_build=True,
-                cluster_kwargs={"pool_p": 256, "points_per_cluster": 96},
+                cluster_kwargs={"pool_p": 96, "points_per_cluster": 96,
+                                "fanout": 5},
             )
             for a in idx.graph.adjs:  # force completion via tiny checksums
                 int(jnp.sum(jnp.abs(a) % 7))
