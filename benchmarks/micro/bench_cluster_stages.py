@@ -66,6 +66,10 @@ def sync(x):
 
 
 t0 = time.time()
+sync(codes); sync(scales)  # dataset upload + device quantize, separated
+print(f"upload+quantize: {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
 k = max(2, min(n, -(-n // a.ppc)))
 cent, assign = kmeans(codes, scales, k, iters=a.kmeans_iters)
 sync(cent); sync(assign)
@@ -86,7 +90,8 @@ rch = min(1024, max(8, 1 << max(k - 1, 1).bit_length()))
 kpad = -(-k // rch) * rch
 tpad = np.full((kpad, smax), -1, np.int32)
 tpad[:k] = table
-cent = _table_centroids(codes, scales, jnp.asarray(tpad), rchunk=rch)[:k]
+cent, _reps = _table_centroids(codes, scales, jnp.asarray(tpad), rchunk=rch)
+cent = cent[:k]
 sync(cent)
 t_mt = time.time() - t0
 print(f"member tables+split+centroids (k={k}, smax={smax}, "
@@ -164,8 +169,8 @@ t_own = time.time() - t0
 print(f"phase A (own rows): {t_own:.1f}s", flush=True)
 
 t0 = time.time()
-rchunk = min(65536, max(1024, 1 << (n - 1).bit_length()))
-adj = _global_merge(adj, own_d2, qflat, sel_d2, sel_ids,
+rchunk = min(16384, max(1024, 1 << (n - 1).bit_length()))
+adj = _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
                     slots=2 * cap, rchunk=rchunk)
 sync(adj)
 t_rev = time.time() - t0

@@ -43,6 +43,29 @@ def quantize(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return codes, scales
 
 
+def quantize_np(x) -> tuple:
+    """Numpy twin of :func:`quantize` for HOST-side quantization.
+
+    Same arithmetic, same reference rounding (``vectors/src/quant.rs:
+    41-66``): IEEE-754 f32 min/max/sub/div/floor, so codes match the
+    device path bit-for-bit on XLA:CPU (pinned by
+    ``tests/test_quant.py::test_host_quantize_matches_device``). Exists
+    so bulk builds can upload ``uint8`` codes + 8 B/point scales instead
+    of the raw f32 vectors — 4x less host->device traffic, which is a
+    measured chunk of the 1M build through the dev tunnel."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    mn = np.min(x, axis=-1, keepdims=True)
+    mx = np.max(x, axis=-1, keepdims=True)
+    delta = (mx - mn) / np.float32(LEVELS)
+    safe = np.where(delta > 0.0, delta, 1.0).astype(np.float32)
+    t = np.where(delta > 0.0, (x - mn) / safe, 0.0).astype(np.float32)
+    codes = np.clip(np.floor(t + np.float32(0.5)), 0.0, LEVELS).astype(np.uint8)
+    scales = np.concatenate([mn, delta], axis=-1).astype(np.float32)
+    return codes, scales
+
+
 def dequantize(codes: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """Dequantize codes back to float32: ``codes * delta + min``.
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.distance import l2sq_quant
-from .ops.quant import dequantize, quantize
+from .ops.quant import dequantize, quantize, quantize_np
 
 MAX_LEVEL = 31  # safety cap; with ml = 1/ln(m) real levels stay far below
 
@@ -75,10 +75,22 @@ class PointStore:
         cls, vectors: np.ndarray, ml: float, seed: int = 0
     ) -> "PointStore":
         """Quantize and level-sample a batch of float vectors
-        (``SimplePoints::new``, ``points/src/points.rs:39-48``)."""
-        vectors = jnp.asarray(vectors, jnp.float32)
-        codes, scales = quantize(vectors)
-        levels = sample_levels(vectors.shape[0], ml, seed)
+        (``SimplePoints::new``, ``points/src/points.rs:39-48``).
+
+        Host (numpy) input is quantized ON HOST and uploaded as u8 codes
+        + scales — 4x less host->device traffic than shipping the f32
+        vectors to a device-side quantize (same arithmetic/rounding;
+        parity pinned in tests/test_quant.py)."""
+        if isinstance(vectors, np.ndarray):
+            codes_np, scales_np = quantize_np(vectors)
+            codes = jnp.asarray(codes_np)
+            scales = jnp.asarray(scales_np)
+            n = vectors.shape[0]
+        else:
+            vectors = jnp.asarray(vectors, jnp.float32)
+            codes, scales = quantize(vectors)
+            n = vectors.shape[0]
+        levels = sample_levels(n, ml, seed)
         return cls(codes, scales, levels)
 
     def __len__(self) -> int:

@@ -95,3 +95,17 @@ def test_l2sq_broadcast():
     a = jnp.asarray([[0.0, 0.0], [1.0, 1.0]])
     b = jnp.asarray([[0.0, 1.0]])
     np.testing.assert_allclose(np.asarray(l2sq(a, b)), [1.0, 1.0])
+
+
+def test_host_quantize_matches_device():
+    # quantize_np is the host twin used by PointStore.from_vectors to
+    # upload u8 codes instead of f32 vectors (4x less transfer); its
+    # codes and scales must match the device path bit-for-bit
+    from hnsw_rs_tpu.ops.quant import quantize_np
+
+    vs = np.asarray(gen_rand_vecs(512, 96, seed=9))
+    vs[7, :] = 2.25  # delta == 0 row
+    cd, sd = quantize(jnp.asarray(vs))
+    ch, sh = quantize_np(vs)
+    np.testing.assert_array_equal(np.asarray(cd), ch)
+    np.testing.assert_array_equal(np.asarray(sd), sh)
