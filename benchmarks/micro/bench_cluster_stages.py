@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from hnsw_rs_tpu.build_cluster import (  # noqa: E402
     _any_orphan, _cluster_sel_step, _global_merge, _member_tables,
-    _orphan_repair, _own_rows_step, _recount_indeg, _split_oversized,
+    _orphan_repair, _recount_indeg, _sel_pos, _split_oversized,
     _table_centroids, kmeans,
 )
 from hnsw_rs_tpu.ops.quant import dequantize  # noqa: E402
@@ -163,14 +163,14 @@ qflat = jnp.concatenate([s[0] for s in sels])
 sel_d2 = jnp.concatenate([s[1] for s in sels])
 sel_ids = jnp.concatenate([s[2] for s in sels])
 del sels
-adj, own_d2 = _own_rows_step(adj, qflat, sel_d2, sel_ids, cap=cap)
-sync(adj)
+pos = _sel_pos(qflat, n=n)
+sync(pos)
 t_own = time.time() - t0
-print(f"phase A (own rows): {t_own:.1f}s", flush=True)
+print(f"phase A (row map): {t_own:.1f}s", flush=True)
 
 t0 = time.time()
 rchunk = min(16384, max(1024, 1 << (n - 1).bit_length()))
-adj = _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
+adj = _global_merge(adj, pos, qflat, sel_d2, sel_ids, codes, scales,
                     slots=2 * cap, rchunk=rchunk)
 sync(adj)
 t_rev = time.time() - t0

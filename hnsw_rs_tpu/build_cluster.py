@@ -338,38 +338,29 @@ _cluster_sel_step = functools.partial(
 )(_cluster_sel_step_impl)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cap",), donate_argnames=("adj",)
-)
-def _own_rows_step(adj, qflat, sel_d2, sel_ids, cap: int):
-    """Phase A: write EVERY point's own row in one pass over the full
-    selection, and scatter the selection's DISTANCES into an aligned
-    ``own_d2`` f32[N, m] table — phase B's union-prune then never has to
-    recompute a single existing-neighbor distance (the per-batch apply
-    path's exd2 gather/scan was a measured chunk of its 255 s at 1M).
-    The in-degree ledger is NOT maintained incrementally; phase B
-    recounts it from the final adjacency in one histogram pass."""
-    n = adj.shape[0]
-    t, m = sel_ids.shape
-    ok = jnp.logical_and(sel_ids != PAD_ID, (qflat >= 0)[:, None])
-    own = jnp.where(ok, sel_ids, -1)
-    if m < cap:
-        own = jnp.concatenate(
-            [own, jnp.full((t, cap - m), -1, jnp.int32)], axis=1
-        )
+@functools.partial(jax.jit, static_argnames=("n",))
+def _sel_pos(qflat, n: int):
+    """Phase A: the row -> selection-index map ``pos`` i32[n] (-1 for rows
+    with no query). ONE narrow i32 scatter — the earlier phase-A design
+    scattered the own rows (int32[N, cap]) AND the selection distances
+    (f32[N, m]) into full tables, and XLA's wide-row scatter does not
+    pipeline (~2 us/row, DEVNOTES "incremental repack cost anatomy"):
+    measured ~14 s of the 54 s 1M build. The merge now GATHERS each row's
+    own selection through ``pos`` instead (gather+select rewrite), and the
+    in-degree ledger is recounted from the final adjacency in one
+    histogram pass."""
+    t = qflat.shape[0]
     rows = jnp.where(qflat >= 0, qflat, n)
-    adj = adj.at[rows].set(own[:, :cap], mode="drop")
-    own_d2 = jnp.full((n, m), INF, jnp.float32).at[rows].set(
-        jnp.where(ok, sel_d2, INF), mode="drop"
+    return jnp.full((n,), -1, jnp.int32).at[rows].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop"
     )
-    return adj, own_d2
 
 
 @functools.partial(
     jax.jit, static_argnames=("slots", "rchunk", "heuristic"),
     donate_argnames=("adj",),
 )
-def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
+def _global_merge(adj, pos, qflat, sel_d2, sel_ids, codes, scales,
                   slots: int, rchunk: int, heuristic: bool = True):
     """Phase B, ONE dispatch: global reverse-edge union-prune.
 
@@ -384,9 +375,11 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
        BEST-first (the per-batch path dropped slot-overflow edges
        arbitrarily; here overflow drops the d2-WORST, strictly better);
     2. per-target run offsets via one searchsorted over the sorted keys;
-    3. rewrite rows in ``rchunk`` blocks: union own selection (distances
-       from ``own_d2`` — zero gathers) with the first ``slots`` incoming,
-       dedup mutual selections, (d2, id)-sort, keep ``cap``.
+    3. rewrite rows in ``rchunk`` blocks: union own selection (ids AND
+       distances gathered straight from the selection arrays through the
+       ``pos`` row map — zero scatters, zero distance recomputes) with
+       the first ``slots`` incoming, dedup mutual selections,
+       (d2, id)-sort, keep ``cap``.
 
     ``heuristic=True`` (default): each row's final composition is the
     Algorithm-4 accept chain over the sorted union (``keep_pruned``,
@@ -422,9 +415,9 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
     adj_p = jnp.concatenate(
         [adj, jnp.full((pad_r, cap), -1, jnp.int32)]
     ) if pad_r else adj
-    ownd_p = jnp.concatenate(
-        [own_d2, jnp.full((pad_r, m), INF, jnp.float32)]
-    ) if pad_r else own_d2
+    pos_p = jnp.concatenate(
+        [pos, jnp.full((pad_r,), -1, jnp.int32)]
+    ) if pad_r else pos
     starts_p = jnp.concatenate(
         [starts, jnp.zeros((pad_r,), starts.dtype)]
     ) if pad_r else starts
@@ -436,12 +429,12 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
 
     def chunk_body(ci, adjc):
         base = ci * rchunk
-        ex = jax.lax.dynamic_slice(adjc, (base, 0), (rchunk, cap))
-        ex_ids = ex[:, :m]  # phase A wrote own entries into slots [0, m)
-        ex_d2 = jnp.where(
-            ex_ids >= 0,
-            jax.lax.dynamic_slice(ownd_p, (base, 0), (rchunk, m)), INF,
-        )
+        posc = jax.lax.dynamic_slice(pos_p, (base,), (rchunk,))
+        psafe = jnp.clip(posc, 0, max(t - 1, 0))
+        raw = sel_ids[psafe]  # [rchunk, m] own selection via the row map
+        okc = jnp.logical_and((posc >= 0)[:, None], raw != PAD_ID)
+        ex_ids = jnp.where(okc, raw, -1)
+        ex_d2 = jnp.where(okc, sel_d2[psafe], INF)
         s = jax.lax.dynamic_slice(starts_p, (base,), (rchunk,))
         cnt = jax.lax.dynamic_slice(ends_p, (base,), (rchunk,)) - s
         off = jnp.clip(s[:, None] + iota_s, 0, e - 1 if e else 0)
@@ -469,11 +462,11 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
                 codes.shape[0] - 1,
             )
             tvec = dequantize(codes[rows], scales[rows])
-            sel_d2, sel_ids = _accept_from_pool(
+            acc_d2, acc_ids = _accept_from_pool(
                 codes, scales, tvec, uni_d2, uni_ids, cap,
                 keep_pruned=True,
             )
-            new = jnp.where(sel_ids == PAD_ID, -1, sel_ids)
+            new = jnp.where(acc_ids == PAD_ID, -1, acc_ids)
         else:
             new = jnp.where(
                 uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap]
@@ -488,7 +481,7 @@ def _global_merge(adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
     jax.jit, static_argnames=("slots", "rchunk", "heuristic"),
     donate_argnames=("adj",),
 )
-def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
+def _global_merge_rows(adj, pos, qflat, sel_d2, sel_ids, rows,
                        codes, scales, slots: int, rchunk: int,
                        heuristic: bool = True):
     """Member-subset variant of :func:`_global_merge` for UPPER layers:
@@ -516,9 +509,12 @@ def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
         rc = jax.lax.dynamic_slice(rows, (base,), (rchunk,))
         valid = rc >= 0
         rsafe = jnp.clip(rc, 0, n - 1)
-        ex = adjc[rsafe]  # [R, cap] phase-A own rows
-        ex_ids = jnp.where(valid[:, None], ex[:, :m], -1)
-        ex_d2 = jnp.where(ex_ids >= 0, own_d2[rsafe], INF)
+        posc = jnp.where(valid, pos[rsafe], -1)
+        psafe = jnp.clip(posc, 0, max(t - 1, 0))
+        raw = sel_ids[psafe]  # [R, m] own selection via the row map
+        okc = jnp.logical_and((posc >= 0)[:, None], raw != PAD_ID)
+        ex_ids = jnp.where(okc, raw, -1)
+        ex_d2 = jnp.where(okc, sel_d2[psafe], INF)
         s = jnp.searchsorted(tgt_s, rsafe).astype(jnp.int32)
         cnt = jnp.searchsorted(tgt_s, rsafe, side="right").astype(
             jnp.int32
@@ -542,11 +538,11 @@ def _global_merge_rows(adj, own_d2, qflat, sel_d2, sel_ids, rows,
         uni_d2, uni_ids = sort_dist_id(uni_d2, uni_ids)
         if heuristic:
             tvec = dequantize(codes[rsafe], scales[rsafe])
-            sel_d2, sel_ids = _accept_from_pool(
+            acc_d2, acc_ids = _accept_from_pool(
                 codes, scales, tvec, uni_d2, uni_ids, cap,
                 keep_pruned=True,
             )
-            new = jnp.where(sel_ids == PAD_ID, -1, sel_ids)
+            new = jnp.where(acc_ids == PAD_ID, -1, acc_ids)
         else:
             new = jnp.where(
                 uni_ids[:, :cap] == PAD_ID, -1, uni_ids[:, :cap]
@@ -749,12 +745,13 @@ def build_layer0_clustered(
         if bar is not None:
             bar.inc(nq_batch)
 
-    # phase A: all own rows (+ aligned selection distances) in one pass
+    # phase A: the row -> selection-index map (one narrow scatter; the
+    # merge gathers own rows/distances through it — no wide scatters)
     qflat = jnp.concatenate([s[0] for s in sels])
     sel_d2 = jnp.concatenate([s[1] for s in sels])
     sel_ids = jnp.concatenate([s[2] for s in sels])
     del sels
-    adj, own_d2 = _own_rows_step(adj, qflat, sel_d2, sel_ids, cap=cap)
+    pos = _sel_pos(qflat, n=n)
 
     # phase B: global reverse-edge union-prune (one dispatch), then
     # recount the in-degree ledger and repair orphans. The heuristic
@@ -764,7 +761,7 @@ def build_layer0_clustered(
     if mem is None:
         rchunk = min(rlim, max(1024, 1 << (n - 1).bit_length()))
         adj = _global_merge(
-            adj, own_d2, qflat, sel_d2, sel_ids, codes, scales,
+            adj, pos, qflat, sel_d2, sel_ids, codes, scales,
             slots=2 * cap, rchunk=rchunk, heuristic=merge_heuristic,
         )
     else:
@@ -772,7 +769,7 @@ def build_layer0_clustered(
         rows = np.full((-(-nm // rchunk) * rchunk,), -1, np.int32)
         rows[:nm] = mem
         adj = _global_merge_rows(
-            adj, own_d2, qflat, sel_d2, sel_ids, jnp.asarray(rows),
+            adj, pos, qflat, sel_d2, sel_ids, jnp.asarray(rows),
             codes, scales, slots=2 * cap, rchunk=rchunk,
             heuristic=merge_heuristic,
         )
