@@ -45,6 +45,10 @@ p.add_argument("--batch-queries", type=int, default=4096)
 p.add_argument("--kmeans-iters", type=int, default=4)
 p.add_argument("--sync-every", type=int, default=64)
 p.add_argument("--pool-approx", action="store_true")
+p.add_argument("--no-select-alg4", action="store_true",
+               help="nearest-m select; merge union chain owns diversity")
+p.add_argument("--merge-slots", type=int, default=0,
+               help="incoming reverse-edge slots per row (0 = 2*cap)")
 p.add_argument("--quick", action="store_true", help="n=100k")
 a = p.parse_args()
 if a.quick:
@@ -109,45 +113,27 @@ nbrcl = nbrcl.astype(jnp.int32)
 sync(nbrcl)
 print(f"cluster nbr top-k: {time.time()-t0:.1f}s", flush=True)
 
-ov_lists = {}
-if overflow:
-    counts = np.bincount(assign_np, minlength=k)
-    order = np.argsort(assign_np, kind="stable").astype(np.int32)
-    starts = np.searchsorted(assign_np[order], np.arange(k))
-    for c in np.flatnonzero(counts > smax):
-        s = int(starts[c])
-        ov_lists[int(c)] = order[s + smax: s + int(counts[c])]
+assert overflow == 0, overflow  # _split_oversized owns coverage
 
 member_dev = jnp.asarray(table)
 g = max(1, a.batch_queries // smax)
 adj = graph.get_layer(0)
 indeg = graph.indeg(0)
 cap = graph.layer_cap(0)
-_EMPTY = np.zeros((0,), np.int32)
-items = [(c, True, ov_lists.get(c, _EMPTY)[:smax]) for c in range(k)]
-for c, extra in ov_lists.items():
-    for s in range(smax, extra.size, smax):
-        items.append((c, False, extra[s : s + smax]))
-n_batches = -(-len(items) // g)
-print(f"select: {n_batches} batches of g={g} items "
-      f"({len(items) - k} overflow-only items)", flush=True)
+n_batches = -(-k // g)
+print(f"select: {n_batches} batches of g={g} clusters", flush=True)
 
 t0 = time.time()
 sels = []
 t_last, done = t0, 0
-for bi, base in enumerate(range(0, len(items), g)):
-    batch = items[base : base + g]
+for bi, base in enumerate(range(0, k, g)):
     cl = np.full((g,), -1, np.int32)
-    qt = np.zeros((g,), bool)
-    ov = np.full((g, smax), -1, np.int32)
-    for i, (c, tk, extra) in enumerate(batch):
-        cl[i] = c
-        qt[i] = tk
-        ov[i, : extra.size] = extra
+    take = min(g, k - base)
+    cl[:take] = np.arange(base, base + take, dtype=np.int32)
     sels.append(_cluster_sel_step(
-        codes, scales, member_dev, nbrcl,
-        jnp.asarray(cl), jnp.asarray(qt), jnp.asarray(ov),
+        codes, scales, member_dev, nbrcl, jnp.asarray(cl),
         m=a.m, pool_p=a.pool_p, pool_approx=a.pool_approx,
+        select_alg4=not a.no_select_alg4,
     ))
     if (bi + 1) % a.sync_every == 0 or bi == n_batches - 1:
         sync(sels[-1][2])
@@ -170,8 +156,9 @@ print(f"phase A (row map): {t_own:.1f}s", flush=True)
 
 t0 = time.time()
 rchunk = min(16384, max(1024, 1 << (n - 1).bit_length()))
+slots = a.merge_slots or 2 * cap
 adj = _global_merge(adj, pos, qflat, sel_d2, sel_ids, codes, scales,
-                    slots=2 * cap, rchunk=rchunk)
+                    slots=slots, rchunk=rchunk)
 sync(adj)
 t_rev = time.time() - t0
 print(f"phase B (global merge, rchunk={rchunk}): {t_rev:.1f}s", flush=True)

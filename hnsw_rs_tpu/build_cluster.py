@@ -47,8 +47,6 @@ from .ops.topk import INF, PAD_ID, sort_dist_id
 
 __all__ = ["kmeans", "build_layer0_clustered"]
 
-_EMPTY_I32 = np.zeros((0,), np.int32)
-
 
 # ---------------------------------------------------------------------------
 # device k-means
@@ -214,21 +212,20 @@ def _table_centroids(codes, scales, table, rchunk: int):
 
 
 def _member_tables(assign_np: np.ndarray, k: int, smax: int):
-    """Host-side [K, Smax] member table (pad -1). Overflowing members
-    (cluster count > Smax) stay QUERIES in their own batch but are not
-    candidates for others; returns (table, n_overflow)."""
+    """Host-side [K, Smax] member table (pad -1), fully vectorized (a
+    per-cluster python loop costs seconds at k~10k on this 1-core host).
+    Returns (table, n_overflow); after :func:`_split_oversized` no
+    cluster exceeds ``smax``, so ``n_overflow`` is 0 (the builder
+    asserts it — overflowing members would silently lose coverage)."""
     order = np.argsort(assign_np, kind="stable").astype(np.int32)
     sa = assign_np[order]
     starts = np.searchsorted(sa, np.arange(k))
-    ends = np.searchsorted(sa, np.arange(k) + 1)
+    cnt = np.searchsorted(sa, np.arange(k) + 1) - starts
+    rank = np.arange(order.size, dtype=np.int64) - starts[sa]
+    keep = rank < smax
     table = np.full((k, smax), -1, np.int32)
-    overflow = 0
-    for c in range(k):
-        s, e = int(starts[c]), int(ends[c])
-        cnt = e - s
-        take = min(cnt, smax)
-        table[c, :take] = order[s : s + take]
-        overflow += cnt - take
+    table[sa[keep], rank[keep]] = order[keep]
+    overflow = int(np.sum(np.maximum(cnt - smax, 0)))
     return table, overflow
 
 
@@ -245,29 +242,28 @@ def _member_tables(assign_np: np.ndarray, k: int, smax: int):
 
 
 def _cluster_sel_step_impl(
-    codes, scales, member, nbrcl, cl_ids, q_take, ov_ids, m: int,
-    pool_p: int, pool_approx: bool = False,
+    codes, scales, member, nbrcl, cl_ids, m: int,
+    pool_p: int, pool_approx: bool = False, select_alg4: bool = True,
 ):
-    """Heuristic-selected layer-0 neighbors for every member of
-    ``cl_ids``' clusters (one dispatch). ``member`` i32[K, Smax]
-    (pad -1), ``nbrcl`` i32[K, C] nearest-cluster ids (self first),
-    ``cl_ids`` i32[G] this group's clusters (pad -1), ``q_take`` bool[G]
-    (False: an OVERFLOW-ONLY row — candidates still come from
-    ``cl_ids``'s cluster but the member-table queries are masked off,
-    because they were already queried by the cluster's primary row),
-    ``ov_ids`` i32[G, Smax] extra overflow queries for these clusters
-    (pad -1; they get rows but are nobody's candidate). Returns (qflat
-    i32[G*NQ], sel_d2 [G*NQ, m], sel_ids [G*NQ, m])."""
+    """Selected layer-0 neighbors for every member of ``cl_ids``'
+    clusters (one dispatch). ``member`` i32[K, Smax] (pad -1), ``nbrcl``
+    i32[K, C] nearest-cluster ids (self first), ``cl_ids`` i32[G] this
+    group's clusters (pad -1). Every point appears in exactly one member
+    row (:func:`_split_oversized` chunks any cluster above Smax into
+    pseudo-clusters, so member tables never overflow — asserted by the
+    builder). ``select_alg4=False`` skips the Algorithm-4 accept chain
+    here and emits the m NEAREST pool candidates instead, leaving ALL
+    diversity pruning to the merge phase's union accept chain (a
+    recall-gated speed knob — the final row composition is still
+    Algorithm 4 over own+incoming). Returns (qflat i32[G*NQ],
+    sel_d2 [G*NQ, m], sel_ids [G*NQ, m])."""
     n = codes.shape[0]
     g, _ = cl_ids.shape[0], None
     smax = member.shape[1]
     c_fan = nbrcl.shape[1]
 
     cl_safe = jnp.clip(cl_ids, 0, member.shape[0] - 1)
-    qids = jnp.where(
-        jnp.logical_and(cl_ids >= 0, q_take)[:, None], member[cl_safe], -1
-    )  # [G, S]
-    qids = jnp.concatenate([qids, ov_ids], axis=1)  # [G, S + Sov]
+    qids = jnp.where((cl_ids >= 0)[:, None], member[cl_safe], -1)  # [G, S]
     nq = qids.shape[1]
     nb = nbrcl[cl_safe]  # [G, C]
     cand = member[jnp.clip(nb, 0, member.shape[0] - 1)]  # [G, C, Smax]
@@ -307,7 +303,7 @@ def _cluster_sel_step_impl(
     # accept chain requires (top_k breaks distance ties by position — only
     # the P-th-boundary tie can differ from a full lex sort, a pool-
     # selection detail the recall gate owns)
-    p = min(pool_p, cs)
+    p = min(max(pool_p, m), cs)  # >= m: the selection slices pool[:, :m]
     if pool_approx and p < cs:
         # TPU-native bitonic-free top-k (lax.approx_max_k): pool selection
         # is already an approximation the recall gate owns (measured ~flat
@@ -326,15 +322,18 @@ def _cluster_sel_step_impl(
     pool_d2, pool_ids = sort_dist_id(pool_d2, pool_ids)
 
     qflat = qids.reshape(g * nq)
-    sel_d2, sel_ids = _accept_from_pool(
-        codes, scales, qvec.reshape(g * nq, -1), pool_d2, pool_ids, m,
-        keep_pruned=True,
-    )
+    if select_alg4:
+        sel_d2, sel_ids = _accept_from_pool(
+            codes, scales, qvec.reshape(g * nq, -1), pool_d2, pool_ids, m,
+            keep_pruned=True,
+        )
+    else:
+        sel_d2, sel_ids = pool_d2[:, :m], pool_ids[:, :m]
     return qflat, sel_d2, sel_ids
 
 
 _cluster_sel_step = functools.partial(
-    jax.jit, static_argnames=("m", "pool_p", "pool_approx"),
+    jax.jit, static_argnames=("m", "pool_p", "pool_approx", "select_alg4"),
 )(_cluster_sel_step_impl)
 
 
@@ -621,6 +620,7 @@ def build_layer0_clustered(
     batch_queries: int = 4096,
     pool_approx: bool = False,
     merge_heuristic: bool = True,
+    select_alg4: bool = True,
     bar=None,
     layer_nb: int = 0,
     member_ids: np.ndarray | None = None,
@@ -692,21 +692,15 @@ def build_layer0_clustered(
     _, nbrcl = jax.lax.top_k(-cd2, c_fan)  # [K, C] ids, self first
     nbrcl = nbrcl.astype(jnp.int32)
 
-    # overflow queries: members beyond Smax, grouped by cluster on host.
-    # A cluster's overflow can exceed one [smax] row (subsampled k-means
-    # produces megaclusters under imbalance) — EVERY chunk becomes a
-    # work item; a dropped chunk would leave its points with empty rows
-    # and no incoming edges (measured: ~10% of 1M unreachable, found by
-    # the recall gate + an OOM in the repair backstop).
-    ov_lists = {}
+    # coverage invariant: _split_oversized chunks every cluster above
+    # Smax into pseudo-clusters, so the member tables hold EVERY point
+    # (overflow handling used to live here as extra query items — the
+    # split makes it structurally impossible, and dead overflow lanes
+    # doubled every select batch's query width)
     if overflow:
-        counts = np.bincount(assign_np, minlength=k)
-        order = np.argsort(assign_np, kind="stable").astype(np.int32)
-        starts = np.searchsorted(assign_np[order], np.arange(k))
-        for c in np.flatnonzero(counts > smax):
-            s = int(starts[c])
-            ov = order[s + smax : s + int(counts[c])]
-            ov_lists[int(c)] = ov if mem is None else mem[ov]
+        raise AssertionError(
+            f"member-table overflow ({overflow}) after _split_oversized"
+        )
 
     member_dev = jnp.asarray(table)
     g = max(1, batch_queries // smax)
@@ -715,35 +709,21 @@ def build_layer0_clustered(
     m = params.m
     cap = graph.layer_cap(layer_nb)
 
-    # work items: one primary row per cluster (member queries + first
-    # overflow chunk), then overflow-only rows for every further chunk
-    items = [(c, True, ov_lists.get(c, _EMPTY_I32)[:smax]) for c in range(k)]
-    for c, extra in ov_lists.items():
-        for s in range(smax, extra.size, smax):
-            items.append((c, False, extra[s : s + smax]))
-
-    # phase SELECT: heuristic neighbors for every point, batch by batch
+    # phase SELECT: neighbors for every point, one cluster-group batch
+    # per dispatch (member counts per batch drive the progress bar)
+    row_counts = np.sum(table >= 0, axis=1)
     sels = []
-    for base in range(0, len(items), g):
-        batch = items[base : base + g]
+    for base in range(0, k, g):
         cl = np.full((g,), -1, np.int32)
-        qt = np.zeros((g,), bool)
-        ov = np.full((g, smax), -1, np.int32)
-        nq_batch = 0
-        for i, (c, take_members, extra) in enumerate(batch):
-            cl[i] = c
-            qt[i] = take_members
-            ov[i, : extra.size] = extra
-            nq_batch += extra.size + (
-                int(np.sum(table[c] >= 0)) if take_members else 0
-            )
+        take = min(g, k - base)
+        cl[:take] = np.arange(base, base + take, dtype=np.int32)
         sels.append(_cluster_sel_step(
-            codes, scales, member_dev, nbrcl,
-            jnp.asarray(cl), jnp.asarray(qt), jnp.asarray(ov),
+            codes, scales, member_dev, nbrcl, jnp.asarray(cl),
             m=m, pool_p=pool_p, pool_approx=pool_approx,
+            select_alg4=select_alg4,
         ))
         if bar is not None:
-            bar.inc(nq_batch)
+            bar.inc(int(np.sum(row_counts[base : base + take])))
 
     # phase A: the row -> selection-index map (one narrow scatter; the
     # merge gathers own rows/distances through it — no wide scatters)
