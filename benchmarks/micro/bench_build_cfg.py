@@ -42,6 +42,8 @@ p.add_argument("--seeded", action="store_true")
 p.add_argument("--cluster", action="store_true", help="cluster-bulk layer-0 build")
 p.add_argument("--pool-approx", action="store_true",
                help="cluster pool via lax.approx_max_k")
+p.add_argument("--no-select-alg4", action="store_true",
+               help="nearest-m select; merge union chain owns diversity")
 p.add_argument("--ppc", type=int, default=256, help="cluster points-per-cluster")
 p.add_argument("--pool-p", type=int, default=512)
 p.add_argument("--fanout", type=int, default=12,
@@ -70,7 +72,7 @@ kw = dict(
     cluster_kwargs=dict(
         pool_approx=a.pool_approx, points_per_cluster=a.ppc,
         pool_p=a.pool_p, batch_queries=a.batch_queries, fanout=a.fanout,
-        kmeans_iters=a.kmeans_iters,
+        kmeans_iters=a.kmeans_iters, select_alg4=not a.no_select_alg4,
     ) if a.cluster else None,
 )
 tag = a.tag or (
@@ -80,6 +82,7 @@ tag = a.tag or (
     + (f" fan={a.fanout}" if a.fanout != 12 else "")
     + (f" pp={a.pool_p}" if a.pool_p != 512 else "")
     + (f" ki={a.kmeans_iters}" if a.kmeans_iters != 4 else "")
+    + (" noalg4" if a.no_select_alg4 else "")
     + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
     + (" wsort" if a.wave_sort else "")
     + (f" wcap={a.wave_cap}" if a.wave_cap != 4096 else "")

@@ -996,7 +996,12 @@ def build_index(
         # cluster passes cost seconds — DEVNOTES round-3)
         from .build_cluster import build_layer0_clustered
 
-        bar = ProgressBar("building HNSW index", n, enabled=verbose)
+        # bar total counts every layer pass's members (each layer is its
+        # own clustered bulk pass), not just the n layer-0 rows
+        total = n + sum(
+            int(np.sum(levels >= l)) for l in range(1, top + 1)
+        )
+        bar = ProgressBar("building HNSW index", total, enabled=verbose)
         for layer_nb in range(top, 0, -1):
             mem = np.flatnonzero(levels >= layer_nb).astype(np.int32)
             build_layer0_clustered(

@@ -208,6 +208,10 @@ class ShardedHNSW:
         self._packed = None
         self._pack_n = -1
         self.serve_expand = 1
+        # per-shard cluster-representative pivot hints (LOCAL row ids,
+        # [S, K] -1-padded) from the concurrent cluster build; finalize
+        # seeds from them first, like HNSW._cluster_pivots
+        self._cluster_reps = None
 
     def __len__(self) -> int:
         if self._counts is not None:
@@ -235,13 +239,15 @@ class ShardedHNSW:
         fan-out, ``template.rs:403-440``). ``concurrent=False`` builds the
         shards one by one with the host builder (cross-check path).
 
-        ``build_kwargs`` (``cluster_build=True``, wave-schedule knobs, …)
-        forward to the per-shard host builder and force the sequential
-        path — the shard_map'd wave step owns its own schedule. On a real
-        multi-host pod each process runs the host builder on ITS shard,
-        so "sequential" costs one shard's wall-clock, not S of them
-        (``parallel.multihost``); cluster-bulk is the measured-fastest
-        builder per shard (DEVNOTES round-3).
+        ``cluster_build=True`` with ``concurrent=True`` (default) runs the
+        cluster-bulk builder for EVERY shard simultaneously over the mesh
+        (``parallel.sharded_cluster`` — the measured-fastest builder per
+        shard, DEVNOTES round-3, shard_map'd). Other ``build_kwargs``
+        (wave-schedule knobs, …) forward to the per-shard host builder
+        and force the sequential path — the shard_map'd wave step owns
+        its own schedule. On a real multi-host pod the sequential path
+        runs one-shard-per-host anyway (``parallel.multihost``), so it
+        costs one shard's wall-clock, not S of them.
 
         Calling this on an already-built object REPLACES the index with a
         fresh build over ``vectors``.
@@ -251,6 +257,7 @@ class ShardedHNSW:
         self._stacked = None
         self._packed = None
         self._pack_n = -1
+        self._cluster_reps = None
         n = vectors.shape[0]
         if partition_bounds is None:
             bounds = np.linspace(0, n, self.n_shards + 1).astype(int)
@@ -262,6 +269,17 @@ class ShardedHNSW:
                     "partition_bounds must be S+1 ascending ints from 0 to n"
                 )
         self._offsets = bounds[:-1]
+        if concurrent and build_kwargs.pop("cluster_build", False):
+            self._build_concurrent_cluster(
+                vectors, bounds, build_kwargs.pop("cluster_kwargs", None)
+                or {},
+            )
+            if build_kwargs:
+                raise TypeError(
+                    "unsupported kwargs with concurrent cluster build: "
+                    f"{sorted(build_kwargs)}"
+                )
+            return self
         if build_kwargs:
             concurrent = False
         if not concurrent:
@@ -349,6 +367,68 @@ class ShardedHNSW:
         }
         self._levels = levels
         self._counts = (bounds[1:] - bounds[:-1]).astype(np.int64)
+
+    def _build_concurrent_cluster(
+        self, vectors: np.ndarray, bounds: np.ndarray, cluster_kwargs: dict
+    ) -> None:
+        """Shard-concurrent cluster-bulk build: every layer is one
+        clustered bulk pass over its members on EVERY shard at once
+        (``parallel.sharded_cluster.sharded_cluster_layer`` — same jitted
+        bodies as the single-chip ``build_cluster`` pipeline, recall-gated
+        by the same benchmarks). Connectivity is owned by the on-device
+        orphan fixpoint; the host repair backstop is per-shard and only
+        runs in the sequential path."""
+        from ..ops.quant import quantize as _q
+        from ..store import sample_levels
+        from .sharded_cluster import sharded_cluster_layer
+
+        S = self.n_shards
+        p = self.params
+        ns = int(max(bounds[s + 1] - bounds[s] for s in range(S)))
+        d = p.dim
+        codes = np.zeros((S, ns, d), np.uint8)
+        scales = np.zeros((S, ns, 2), np.float32)
+        levels = np.full((S, ns), -1, np.int32)
+        gids = np.full((S, ns), -1, np.int32)
+        eps = np.zeros((S,), np.int32)
+        for s in range(S):
+            k = int(bounds[s + 1] - bounds[s])
+            c, sc = _q(jnp.asarray(vectors[bounds[s] : bounds[s + 1]]))
+            codes[s, :k] = np.asarray(c)
+            scales[s, :k] = np.asarray(sc)
+            lv = sample_levels(k, p.ml, seed=s)
+            levels[s, :k] = lv
+            gids[s, :k] = self._offsets[s] + np.arange(k)
+            eps[s] = int(np.flatnonzero(lv == lv.max())[0]) if k else 0
+        top = int(levels.max())
+        shard = NamedSharding(self.mesh, P("shard"))
+        dev = lambda x: jax.device_put(jnp.asarray(x), shard)
+        codes_d, scales_d = dev(codes), dev(scales)
+        counts = (bounds[1:] - bounds[:-1]).astype(np.int64)
+
+        adjs = []
+        reps = None
+        for layer_nb in range(top, -1, -1):
+            cap = p.layer_cap(layer_nb)
+            adj_s = dev(np.full((S, ns, cap), -1, np.int32))
+            adj_s, _, r = sharded_cluster_layer(
+                self.mesh, codes_d, scales_d, adj_s, counts, levels,
+                layer_nb, cap=cap, m=p.m, **cluster_kwargs,
+            )
+            adjs.append(adj_s)
+            if layer_nb == 0:
+                reps = r
+        adjs.reverse()  # layer 0 first, like every stacked consumer
+        self._stacked = {
+            "codes": codes_d,
+            "scales": scales_d,
+            "gids": dev(gids),
+            "eps": dev(eps),
+            "adjs": tuple(adjs),
+        }
+        self._levels = levels
+        self._counts = counts
+        self._cluster_reps = reps
 
     def _stack(self) -> None:
         """Stack per-shard arrays to [S, ...] with uniform padding."""
@@ -775,13 +855,16 @@ class ShardedHNSW:
                     np.linspace(0, ids.size - 1, cap).round().astype(np.int64)
                 )
                 ids = ids[pick]
-            reps = (
-                self.shards[s]._cluster_pivots
-                if s < len(self.shards)
-                and getattr(self.shards[s], "_cluster_pivots", None)
-                is not None
-                else None
-            )
+            if self._cluster_reps is not None:
+                reps = self._cluster_reps[s]
+                reps = reps[reps >= 0]
+                reps = reps if reps.size else None
+            elif s < len(self.shards) and getattr(
+                self.shards[s], "_cluster_pivots", None
+            ) is not None:
+                reps = self.shards[s]._cluster_pivots
+            else:
+                reps = None
             if reps is not None:
                 # drop representatives whose rows no longer live here
                 # (rebalance moves tail rows; shards[] hints are static)

@@ -50,7 +50,7 @@ def test_concurrent_build_self_queries():
 
 
 def test_cluster_build_kwargs_route_to_host_builder():
-    """cluster_build=True (any build kwarg) forces the per-shard host
+    """cluster_build=True with concurrent=False takes the per-shard host
     builder and lands in the same recall family as the wave paths."""
     vecs = gen_rand_vecs(N, DIM, seed=4)
     queries = gen_rand_vecs(24, DIM, seed=5)
@@ -59,7 +59,7 @@ def test_cluster_build_kwargs_route_to_host_builder():
     _, truth = flat.search(queries, 10, exact=True)
 
     idx = ShardedHNSW(M, DIM, n_shards=4, mesh=make_mesh(1, 4))
-    idx.insert_bulk(vecs, cluster_build=True)
+    idx.insert_bulk(vecs, cluster_build=True, concurrent=False)
     assert len(idx) == N and len(idx.shards) == 4  # sequential path taken
     _, ids = idx.ann_batch(queries, 10, 60)
     r = recall(ids, truth)
@@ -68,3 +68,46 @@ def test_cluster_build_kwargs_route_to_host_builder():
     idx.finalize(pivots=64)
     _, ids2 = idx.ann_batch(queries, 10, 60)
     assert recall(ids2, truth) > 0.9
+
+
+def test_concurrent_cluster_build():
+    """cluster_build=True + concurrent=True: every shard cluster-builds
+    at once under shard_map (parallel.sharded_cluster) — same recall
+    family as the sequential per-shard cluster builds, valid global ids,
+    and the seeded serving stack composes on top of the per-shard
+    cluster representatives."""
+    vecs = gen_rand_vecs(N, DIM, seed=6)
+    queries = gen_rand_vecs(24, DIM, seed=7)
+    flat = FlatIndex(DIM)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+
+    idx = ShardedHNSW(M, DIM, n_shards=4, mesh=make_mesh(1, 4))
+    idx.insert_bulk(
+        vecs, cluster_build=True,
+        cluster_kwargs=dict(points_per_cluster=24, fanout=4, pool_p=64),
+    )
+    assert len(idx) == N and idx.shards == []  # concurrent path taken
+    assert idx._cluster_reps is not None
+    _, ids = idx.ann_batch(queries, 10, 60)
+    r = recall(ids, truth)
+    assert r > 0.95, f"concurrent cluster sharded recall {r}"
+    assert np.all((ids >= 0) & (ids < N))
+
+    seq = ShardedHNSW(M, DIM, n_shards=4, mesh=make_mesh(1, 4))
+    seq.insert_bulk(
+        vecs, cluster_build=True, concurrent=False,
+        cluster_kwargs=dict(points_per_cluster=24, fanout=4, pool_p=64),
+    )
+    _, ids_s = seq.ann_batch(queries, 10, 60)
+    rs = recall(ids_s, truth)
+    assert r >= rs - 0.03, f"concurrent {r} vs sequential {rs}"
+
+    # seeded serving over the concurrent build's cluster reps
+    idx.finalize(pivots=64)
+    _, ids2 = idx.ann_batch(queries, 10, 60)
+    assert recall(ids2, truth) > 0.9
+
+    # self-queries resolve to their own global id
+    _, ids3 = idx.ann_batch(vecs[:64], 1, 40)
+    assert np.mean(ids3[:, 0] == np.arange(64)) > 0.95
