@@ -149,7 +149,7 @@ class HNSW:
         # layer-0 — the beyond-HBM memory mode (search.ann_search_pq)
         self._pq = None  # (codebooks, pq_codes, packed0_pq)
         self._pq_n = -1
-        self.pq_rerank = 0  # exact re-score width; 0 -> max(4k, ef/2)
+        self.pq_rerank = 0  # exact re-score width; 0 -> max(4k, ef)
         # pending incremental inserts, batched into waves (amortizes the
         # one-wave-per-insert_vec dispatch, ~214 ms/call on the dev
         # tunnel); flushed on any read or at pending_flush_size
@@ -390,7 +390,14 @@ class HNSW:
         pq_fresh = self._pq is not None and self._pq_n == len(self)
         if pq_fresh and piv_fresh:
             cb, pq_codes, packed_pq, rot = self._pq
-            rr = self.pq_rerank or max(4 * n, ef // 2)
+            # default: exact-rescore the FULL beam — one [B, ef] gather +
+            # l2sq at the end of the query, ~free next to the beam loop,
+            # and ADC ordering noise within a neighborhood is the PQ
+            # mode's measured recall wall (|adc-exact| ~ the NN1->NN10
+            # gap at d=96/pq_m=24 on clustered data; brute ADC top-40
+            # contains only 67% of true top-10 where top-ef-wide rescue
+            # reaches 100% — DEVNOTES "PQ serving recall anatomy")
+            rr = self.pq_rerank or max(4 * n, ef)
             d, i = _ann_pq_jit(
                 packed_pq, cb, pq_codes, self._pivots[0], self._pivots[1],
                 self.points.codes, self.points.scales, q, ef, n, max_iters,
