@@ -26,8 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from hnsw_rs_tpu.build_cluster import (  # noqa: E402
     _any_orphan, _cluster_sel_step, _global_merge, _member_tables,
-    _orphan_repair, _recount_indeg, _sel_pos, _split_oversized,
-    _table_centroids, kmeans,
+    _nbr_clusters, _orphan_repair, _recount_indeg, _sel_pos,
+    _split_oversized, _table_centroids, kmeans,
 )
 from hnsw_rs_tpu.ops.quant import dequantize  # noqa: E402
 from hnsw_rs_tpu.graphs import LayeredGraph  # noqa: E402
@@ -103,13 +103,8 @@ print(f"member tables+split+centroids (k={k}, smax={smax}, "
       flush=True)
 
 t0 = time.time()
-c2 = jnp.sum(cent * cent, axis=1)
-cd2 = jnp.maximum(
-    c2[:, None] + c2[None, :]
-    - 2.0 * jnp.dot(cent, cent.T, preferred_element_type=jnp.float32), 0.0)
 c_fan = min(a.fanout, k)
-_, nbrcl = jax.lax.top_k(-cd2, c_fan)
-nbrcl = nbrcl.astype(jnp.int32)
+nbrcl = _nbr_clusters(cent, c_fan)
 sync(nbrcl)
 print(f"cluster nbr top-k: {time.time()-t0:.1f}s", flush=True)
 

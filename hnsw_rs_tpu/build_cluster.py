@@ -211,6 +211,34 @@ def _table_centroids(codes, scales, table, rchunk: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("c_fan",))
+def _nbr_clusters(cent, c_fan: int):
+    """Nearest-cluster fan-out i32[K, c_fan], self exactly first: the
+    self column is masked out of an ``approx_max_k`` pick of the
+    ``c_fan - 1`` nearest others and prepended (see call site — exact
+    top_k on [K, K] is a measured ~6 s stage at 1M; neighbor-cluster
+    choice is a pool heuristic the recall gate owns, self-inclusion is
+    the only exact requirement)."""
+    k = cent.shape[0]
+    c2 = jnp.sum(cent * cent, axis=1)
+    cd2 = jnp.maximum(
+        c2[:, None] + c2[None, :]
+        - 2.0 * jnp.dot(cent, cent.T, preferred_element_type=jnp.float32),
+        0.0,
+    )
+    iota = jnp.arange(k, dtype=jnp.int32)
+    if c_fan == 1:
+        return iota[:, None]
+    cd2 = jnp.where(iota[None, :] == iota[:, None], INF, cd2)
+    if k > 256:
+        _, nbr = jax.lax.approx_max_k(-cd2, c_fan - 1, recall_target=0.95)
+    else:
+        _, nbr = jax.lax.top_k(-cd2, c_fan - 1)
+    return jnp.concatenate(
+        [iota[:, None], nbr.astype(jnp.int32)], axis=1
+    )
+
+
 def _member_tables(assign_np: np.ndarray, k: int, smax: int):
     """Host-side [K, Smax] member table (pad -1), fully vectorized (a
     per-cluster python loop costs seconds at k~10k on this 1-core host).
@@ -681,16 +709,14 @@ def build_layer0_clustered(
     )
     cent = cent[:k]
 
-    # nearest clusters per cluster (self is its own nearest at d2=0)
-    c2 = jnp.sum(cent * cent, axis=1)
-    cd2 = jnp.maximum(
-        c2[:, None] + c2[None, :]
-        - 2.0 * jnp.dot(cent, cent.T, preferred_element_type=jnp.float32),
-        0.0,
-    )
+    # nearest clusters per cluster, self FIRST by construction: exact
+    # lax.top_k over the [K, K] matrix costs ~6 s of the 1M build (a
+    # full per-row sort); the fan-out is a candidate-pool heuristic the
+    # recall gate owns, so approx_max_k picks the c_fan-1 non-self
+    # neighbors and the self column (the one entry that is load-bearing
+    # — cluster mates MUST see each other) is prepended exactly
     c_fan = min(fanout, k)
-    _, nbrcl = jax.lax.top_k(-cd2, c_fan)  # [K, C] ids, self first
-    nbrcl = nbrcl.astype(jnp.int32)
+    nbrcl = _nbr_clusters(cent, c_fan)
 
     # coverage invariant: _split_oversized chunks every cluster above
     # Smax into pseudo-clusters, so the member tables hold EVERY point

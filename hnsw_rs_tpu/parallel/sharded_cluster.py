@@ -126,6 +126,7 @@ def _tables_shard(codes, scales, tpad, rchunk: int, c_fan: int):
     i32[Kpad, smax] LOCAL ids (-1 pad)."""
     cent, reps = _unwrap(_table_centroids)(codes, scales, tpad, rchunk)
     live = jnp.any(tpad >= 0, axis=1)  # [Kpad]
+    k = cent.shape[0]
     c2 = jnp.sum(cent * cent, axis=1)
     cd2 = jnp.maximum(
         c2[:, None] + c2[None, :]
@@ -133,10 +134,21 @@ def _tables_shard(codes, scales, tpad, rchunk: int, c_fan: int):
         0.0,
     )
     # pad clusters sit at the origin-mean — masked from everyone's
-    # fan-out (and a pad ROW's own fan-out is irrelevant: no queries)
+    # fan-out (and a pad ROW's own fan-out is irrelevant: no queries).
+    # Self is prepended exactly, the rest via approx_max_k — same
+    # rationale as build_cluster._nbr_clusters (exact [K, K] top_k is a
+    # measured multi-second stage at build scale)
+    iota = jnp.arange(k, dtype=jnp.int32)
+    if c_fan == 1:
+        return iota[:, None], reps
     cd2 = jnp.where(live[None, :], cd2, INF)
-    _, nbrcl = jax.lax.top_k(-cd2, c_fan)
-    return nbrcl.astype(jnp.int32), reps
+    cd2 = jnp.where(iota[None, :] == iota[:, None], INF, cd2)
+    if k > 256:
+        _, nbr = jax.lax.approx_max_k(-cd2, c_fan - 1, recall_target=0.95)
+    else:
+        _, nbr = jax.lax.top_k(-cd2, c_fan - 1)
+    nbrcl = jnp.concatenate([iota[:, None], nbr.astype(jnp.int32)], axis=1)
+    return nbrcl, reps
 
 
 # ---------------------------------------------------------------------------
