@@ -233,25 +233,33 @@ def main() -> None:
         index._f32_n = -1
         index._packed0 = None
         index._packed_n = -1
-    index.finalize(pivots=PIVOTS, pq_m=24)
-    cb, pq_codes, packed_pq, _rot = index._pq
-    pivot_ids, pivot_vecs = index._pivots
-    b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
-    b_pq = int(packed_pq.size + pq_codes.size + cb.size * 4)
-    rows.append(
-        measure(
-            "pq24+piv",
-            lambda a, q, ef, mi: _ann_pq_jit(
-                a[0], a[1], a[2], a[3], a[4], a[5], a[6], q, ef, K, mi,
-                4 * K,
-            ),
-            (packed_pq, cb, pq_codes, pivot_ids, pivot_vecs, codes, scales),
-            b_codes + b_adj + b_pq + b_piv,
-            seed_cands + [(256, 280)],
-            qb=qbig[:8192] if pq_only else None,
+    for pq_m in (24, 48):
+        index.finalize(pivots=PIVOTS, pq_m=pq_m)
+        cb, pq_codes, packed_pq, _rot = index._pq
+        pivot_ids, pivot_vecs = index._pivots
+        b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
+        b_pq = int(packed_pq.size + pq_codes.size + cb.size * 4)
+        rows.append(
+            measure(
+                f"pq{pq_m}+piv",
+                # rerank = full beam (the library default since the ADC
+                # anatomy finding: ADC ordering inside a neighborhood is
+                # near-random at these code rates, the exact rescore is
+                # one [B, ef] gather — see HNSW.ann_batch)
+                lambda a, q, ef, mi: _ann_pq_jit(
+                    a[0], a[1], a[2], a[3], a[4], a[5], a[6], q, ef, K, mi,
+                    max(4 * K, ef),
+                ),
+                (packed_pq, cb, pq_codes, pivot_ids, pivot_vecs, codes,
+                 scales),
+                b_codes + b_adj + b_pq + b_piv,
+                seed_cands + [(256, 280)],
+                qb=qbig[:8192] if pq_only else None,
+            )
         )
-    )
-    write_out(rows)
+        del cb, pq_codes, packed_pq, pivot_ids, pivot_vecs
+        index._pq = None
+        write_out(rows)
 
 
 if __name__ == "__main__":
