@@ -87,10 +87,15 @@ def main() -> None:
             # vec/s; 96/5 -> 23,211 vec/s (2.6x) at the same 0.9977
             # recall@10 (ef=16/mi=8) on this regime. kmeans_iters=2
             # was measured NO faster (tunnel variance) and costs margin.
+            # select_alg4=False: nearest-m select, ALL diversity pruning
+            # left to the merge union chain — select phase 11.0 -> 4.2 s
+            # at 1M (layer-0 stage total 38.8 -> 32.4 s) and the 1M gate
+            # ladder is unchanged-or-better (0.9988 @ ef=16/mi=8 vs
+            # 0.9977; 1.0000 from ef=40) — DEVNOTES "select_alg4".
             idx.insert_bulk(
                 ds.train, cluster_build=True,
                 cluster_kwargs={"pool_p": 96, "points_per_cluster": 96,
-                                "fanout": 5},
+                                "fanout": 5, "select_alg4": False},
             )
             for a in idx.graph.adjs:  # force completion via tiny checksums
                 int(jnp.sum(jnp.abs(a) % 7))

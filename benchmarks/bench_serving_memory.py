@@ -61,9 +61,12 @@ def main() -> None:
         index = HNSW.load(idx_dir)
     else:
         index = HNSW(M, ef_cons=EF_CONS, dim=D)
+        # the bench.py headline build config (shared .bench_cache index)
         index.insert_bulk(ds.train, cluster_build=True,
-                          cluster_kwargs={"pool_p": 256,
-                                          "points_per_cluster": 96})
+                          cluster_kwargs={"pool_p": 96,
+                                          "points_per_cluster": 96,
+                                          "fanout": 5,
+                                          "select_alg4": False})
         index.save(idx_dir)
 
     if os.path.exists(gt_path):
