@@ -12,6 +12,7 @@ device wall time.
     python benchmarks/micro/bench_cluster_stages.py --n 1000000 [--quick]
 """
 import argparse
+import functools
 import os
 import sys
 import time
@@ -49,6 +50,9 @@ p.add_argument("--no-select-alg4", action="store_true",
                help="nearest-m select; merge union chain owns diversity")
 p.add_argument("--merge-slots", type=int, default=0,
                help="incoming reverse-edge slots per row (0 = 2*cap)")
+p.add_argument("--merge-bisect", action="store_true",
+               help="split phase B: edge sort (3-key vs packed 2-key) and "
+               "union-only merge (heuristic=False) before the real merge")
 p.add_argument("--quick", action="store_true", help="n=100k")
 a = p.parse_args()
 if a.quick:
@@ -148,6 +152,70 @@ pos = _sel_pos(qflat, n=n)
 sync(pos)
 t_own = time.time() - t0
 print(f"phase A (row map): {t_own:.1f}s", flush=True)
+
+if a.merge_bisect:
+    from hnsw_rs_tpu.ops.topk import INF, PAD_ID
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _edge_sort3(qflat, sel_d2, sel_ids, n: int):
+        t, m = sel_ids.shape
+        e = t * m
+        ok = jnp.logical_and(sel_ids != PAD_ID, (qflat >= 0)[:, None])
+        tgt0 = jnp.where(ok, sel_ids, n).reshape(e)
+        src0 = jnp.broadcast_to(qflat[:, None], (t, m)).reshape(e)
+        ed20 = jnp.where(ok, sel_d2, INF).reshape(e)
+        tgt_s, ed2_s, src_s = jax.lax.sort(
+            (tgt0, ed20, src0), dimension=0, num_keys=3
+        )
+        return tgt_s[::65536].sum() + src_s[::65536].sum()
+
+    @functools.partial(jax.jit, static_argnames=("n", "keys"))
+    def _edge_sort2(qflat, sel_d2, sel_ids, n: int, keys: int):
+        # packed key: tgt in the high 32 bits, ordered d2 bits low
+        # (d2 >= 0 so its f32 bits are order-isomorphic non-negative i32)
+        t, m = sel_ids.shape
+        e = t * m
+        ok = jnp.logical_and(sel_ids != PAD_ID, (qflat >= 0)[:, None])
+        tgt0 = jnp.where(ok, sel_ids, n).astype(jnp.int64).reshape(e)
+        src0 = jnp.broadcast_to(qflat[:, None], (t, m)).reshape(e)
+        d2b = jax.lax.bitcast_convert_type(
+            jnp.where(ok, sel_d2, INF), jnp.int32
+        ).astype(jnp.int64).reshape(e)
+        key = (tgt0 << 32) | d2b
+        key_s, src_s = jax.lax.sort((key, src0), dimension=0, num_keys=keys)
+        return key_s[::65536].sum() + src_s[::65536].sum()
+
+    for label, fn in (
+        ("3-key (tgt,d2,src)", lambda: _edge_sort3(qflat, sel_d2, sel_ids, n=n)),
+        ("2-key (packed,src)", lambda: _edge_sort2(qflat, sel_d2, sel_ids, n=n, keys=2)),
+        ("1-key (packed)+payload", lambda: _edge_sort2(qflat, sel_d2, sel_ids, n=n, keys=1)),
+    ):
+        int(fn())  # compile
+        t0 = time.time()
+        int(fn()); int(fn())
+        print(f"  edge sort {label}: {(time.time()-t0)/2:.2f}s", flush=True)
+
+    t0 = time.time()
+    adj_u = _global_merge(
+        jnp.full_like(adj, -1), pos, qflat, sel_d2, sel_ids, codes, scales,
+        slots=a.merge_slots or 2 * cap,
+        rchunk=min(16384, max(1024, 1 << (n - 1).bit_length())),
+        heuristic=False,
+    )
+    sync(adj_u)
+    print(f"  union-only merge (heuristic=False, cold): "
+          f"{time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    adj_u = _global_merge(
+        adj_u, pos, qflat, sel_d2, sel_ids, codes, scales,
+        slots=a.merge_slots or 2 * cap,
+        rchunk=min(16384, max(1024, 1 << (n - 1).bit_length())),
+        heuristic=False,
+    )
+    sync(adj_u)
+    print(f"  union-only merge (heuristic=False, warm): "
+          f"{time.time()-t0:.1f}s", flush=True)
+    del adj_u
 
 t0 = time.time()
 rchunk = min(16384, max(1024, 1 << (n - 1).bit_length()))
