@@ -85,6 +85,35 @@ def test_cluster_build_seeded_serving_and_persistence(built, tmp_path):
     assert _recall(idx2, ds, truth, 48) == r
 
 
+def test_cluster_build_noalg4_recall_and_invariants():
+    """select_alg4=False (the bench.py headline config): nearest-m
+    select, with ALL diversity pruning left to the merge union chain.
+    Measured at 1M as unchanged-or-better recall at 1.5x the select
+    speed (DEVNOTES "select_alg4=False"); this pins the small-N recall
+    family plus the row invariants for that path."""
+    ds = synthetic_clustered(N, D, n_queries=128, seed=11)
+    idx = HNSW(12, ef_cons=48, dim=D)
+    idx.insert_bulk(ds.train, cluster_build=True,
+                    cluster_kwargs={"select_alg4": False})
+    qq = dequantize(*quantize(jnp.asarray(ds.test)))
+    normsq = point_normsq(idx.points.codes, idx.points.scales)
+    _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
+        qq, idx.points.codes, idx.points.scales, normsq
+    )
+    truth = np.asarray(ti)[:, :K]
+    assert _recall(idx, ds, truth, 32) >= 0.95
+    adj0 = np.asarray(idx.graph.get_layer(0))[: len(idx)]
+    n = len(idx)
+    assert not np.any(adj0 == np.arange(n)[:, None]), "self-loop"
+    outdeg = (adj0 >= 0).sum(1)
+    indeg = np.zeros(n, np.int64)
+    np.add.at(indeg, adj0[adj0 >= 0], 1)
+    assert not np.any((outdeg > 0) & (indeg == 0)), "orphan"
+    for r in range(0, n, 97):
+        row = adj0[r][adj0[r] >= 0]
+        assert row.size == np.unique(row).size, f"dup in row {r}"
+
+
 def test_cluster_overflow_chunks_cover_every_point():
     """Megacluster regression: members beyond 2*smax per cluster were
     silently dropped (empty rows, unreachable points — found at 1M as
