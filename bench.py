@@ -92,10 +92,17 @@ def main() -> None:
             # at 1M (layer-0 stage total 38.8 -> 32.4 s) and the 1M gate
             # ladder is unchanged-or-better (0.9988 @ ef=16/mi=8 vs
             # 0.9977; 1.0000 from ef=40) — DEVNOTES "select_alg4".
+            # merge_slots=48 (= cap, vs the 2*cap default): incoming
+            # reverse-edge slots in the merge union; mean in-degree is m,
+            # so halving slots only truncates hub rows (d2-worst incoming
+            # drop first). Same-session A/B at 1M: merge 10.9 -> 7.5 s,
+            # layer-0 27.9 -> 26.1 s, recall 0.9992 @ ef=16/mi=8 (vs
+            # 0.9988 at slots=96) — DEVNOTES "cluster-build config sweep".
             idx.insert_bulk(
                 ds.train, cluster_build=True,
                 cluster_kwargs={"pool_p": 96, "points_per_cluster": 96,
-                                "fanout": 5, "select_alg4": False},
+                                "fanout": 5, "select_alg4": False,
+                                "merge_slots": 48},
             )
             for a in idx.graph.adjs:  # force completion via tiny checksums
                 int(jnp.sum(jnp.abs(a) % 7))

@@ -50,6 +50,8 @@ p.add_argument("--fanout", type=int, default=12,
                help="cluster candidate-pool fanout (nearest clusters)")
 p.add_argument("--batch-queries", type=int, default=4096)
 p.add_argument("--kmeans-iters", type=int, default=4)
+p.add_argument("--merge-slots", type=int, default=0,
+               help="incoming reverse-edge slots per row (0 = 2*cap)")
 p.add_argument("--pivots", type=int, default=8192)
 p.add_argument("--packed", default="off", choices=["off", "auto", "on"])
 p.add_argument("--lag", type=int, default=1)
@@ -73,6 +75,7 @@ kw = dict(
         pool_approx=a.pool_approx, points_per_cluster=a.ppc,
         pool_p=a.pool_p, batch_queries=a.batch_queries, fanout=a.fanout,
         kmeans_iters=a.kmeans_iters, select_alg4=not a.no_select_alg4,
+        merge_slots=a.merge_slots,
     ) if a.cluster else None,
 )
 tag = a.tag or (
@@ -82,6 +85,7 @@ tag = a.tag or (
     + (f" fan={a.fanout}" if a.fanout != 12 else "")
     + (f" pp={a.pool_p}" if a.pool_p != 512 else "")
     + (f" ki={a.kmeans_iters}" if a.kmeans_iters != 4 else "")
+    + (f" slots={a.merge_slots}" if a.merge_slots else "")
     + (" noalg4" if a.no_select_alg4 else "")
     + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
     + (" wsort" if a.wave_sort else "")

@@ -649,6 +649,7 @@ def build_layer0_clustered(
     pool_approx: bool = False,
     merge_heuristic: bool = True,
     select_alg4: bool = True,
+    merge_slots: int = 0,
     bar=None,
     layer_nb: int = 0,
     member_ids: np.ndarray | None = None,
@@ -664,7 +665,14 @@ def build_layer0_clustered(
     member rows (:func:`_global_merge_rows`). This replaced the
     upper-layer wave path in the cluster build — the ramped waves cost
     ~135 s of the 1M build for 4.3% of the points (lockstep beam
-    searches); the per-layer cluster pass costs seconds."""
+    searches); the per-layer cluster pass costs seconds.
+
+    ``merge_slots`` (0 = ``2 * cap``): incoming reverse-edge slots per
+    row in the merge union. The merge's cost is its per-row vector
+    gathers ([rchunk, m + slots] rows per chunk at the ~60-100 ns/row
+    XLA gather-descriptor floor — DEVNOTES), so slots is a direct
+    build-speed knob; mean in-degree is ``m``, so truncation only
+    touches hub rows (d2-worst incoming drop first)."""
     n = len(store)
     if n == 0:
         return
@@ -764,11 +772,12 @@ def build_layer0_clustered(
     # union keeps per-chunk [R, C, d] accept-gather temps bounded via a
     # smaller row chunk.
     rlim = 16384 if merge_heuristic else 65536
+    slots = merge_slots or 2 * cap
     if mem is None:
         rchunk = min(rlim, max(1024, 1 << (n - 1).bit_length()))
         adj = _global_merge(
             adj, pos, qflat, sel_d2, sel_ids, codes, scales,
-            slots=2 * cap, rchunk=rchunk, heuristic=merge_heuristic,
+            slots=slots, rchunk=rchunk, heuristic=merge_heuristic,
         )
     else:
         rchunk = min(rlim, max(1024, 1 << (nm - 1).bit_length()))
@@ -776,7 +785,7 @@ def build_layer0_clustered(
         rows[:nm] = mem
         adj = _global_merge_rows(
             adj, pos, qflat, sel_d2, sel_ids, jnp.asarray(rows),
-            codes, scales, slots=2 * cap, rchunk=rchunk,
+            codes, scales, slots=slots, rchunk=rchunk,
             heuristic=merge_heuristic,
         )
     indeg = _recount_indeg(adj)
