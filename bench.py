@@ -200,6 +200,17 @@ def main() -> None:
     qps = batch * iters / (time.time() - t0)
 
     cpu_bv = meta.get("cpu_build_vps")
+    # The denominator is pinned to the cross-session MAX of idle
+    # measurements: this VM's CPU state itself swings ~3x between
+    # sessions (idle trials of the SAME M=24/efc=128/d=96 baseline:
+    # 939.9/936.8 one session, 313.6/317.7 another — DEVNOTES "baseline
+    # measurement honesty"). The C++ baseline is 100% host-bound while
+    # the TPU build is only partly host-bound, so a slow-host session
+    # INFLATES the same-session x-factor; max() keeps the reported
+    # multiple conservative no matter which host state measured it.
+    CPU_BASELINE_FLOOR = 939.9  # best idle cross-session measurement
+    if cpu_bv:
+        cpu_bv = max(cpu_bv, CPU_BASELINE_FLOOR)
     bx = f", {build_rate / cpu_bv:.1f}x 1-core C++ {cpu_bv:.0f}" if cpu_bv else ""
     # serving-memory honesty: device bytes per point actually held by this
     # serving mode (packed rows + pivot table + codes/scales/adjacency)
