@@ -365,6 +365,65 @@ _cluster_sel_step = functools.partial(
 )(_cluster_sel_step_impl)
 
 
+def _exact_sel_step_impl(
+    codes, scales, qids, mem_all, m: int, pool_p: int,
+    select_alg4: bool = True,
+):
+    """Exact-pool variant of :func:`_cluster_sel_step_impl` for SMALL
+    layers: candidates are ALL layer members (``mem_all`` i32[NM_pad],
+    pad -1), scored against the query chunk ``qids`` i32[B] (pad -1)
+    with one MXU matmul — no k-means, no member tables, no cluster
+    fan-out. The pool is a strict superset of any cluster pool, so
+    selection quality is >= the clustered path's; everything downstream
+    (phase A row map, global merge, orphan repair) is unchanged. Same
+    (qflat, sel_d2, sel_ids) contract, PAD/INF conventions, and (d2, id)
+    lex order as the clustered step.
+
+    Motivation (measured, DEVNOTES "exact small-layer path"): the upper
+    layers hold 4.3% of the points but the per-pass fixed machinery cost
+    67 s of a 173 s 1M build — 7.8 s for a 79-member layer."""
+    n = codes.shape[0]
+    b = qids.shape[0]
+    qsafe = jnp.clip(qids, 0, n - 1)
+    qvec = dequantize(codes[qsafe], scales[qsafe])  # [B, d]
+    csafe = jnp.clip(mem_all, 0, n - 1)
+    cvec = dequantize(codes[csafe], scales[csafe])  # [NM, d]
+
+    qq = jnp.sum(qvec * qvec, axis=1)  # [B]
+    cc = jnp.sum(cvec * cvec, axis=1)  # [NM]
+    qc = jax.lax.dot_general(
+        qvec, cvec, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, NM]
+    d2 = jnp.maximum(qq[:, None] + cc[None, :] - 2.0 * qc, 0.0)
+    bad = jnp.logical_or(
+        jnp.logical_or((mem_all < 0)[None, :], (qids < 0)[:, None]),
+        mem_all[None, :] == qids[:, None],  # self
+    )
+    d2 = jnp.where(bad, INF, d2)
+
+    p = min(max(pool_p, m), mem_all.shape[0])
+    nv, pos = jax.lax.top_k(-d2, p)  # [B, P]
+    pool_ids = mem_all[pos.astype(jnp.int32)]
+    pool_d2 = -nv
+    pool_ids = jnp.where(jnp.isinf(pool_d2), PAD_ID, pool_ids)
+    pool_d2, pool_ids = sort_dist_id(pool_d2, pool_ids)
+
+    if select_alg4:
+        sel_d2, sel_ids = _accept_from_pool(
+            codes, scales, qvec, pool_d2, pool_ids, m, keep_pruned=True,
+        )
+    else:
+        sel_d2, sel_ids = pool_d2[:, :m], pool_ids[:, :m]
+    return qids, sel_d2, sel_ids
+
+
+_exact_sel_step = functools.partial(
+    jax.jit, static_argnames=("m", "pool_p", "select_alg4"),
+)(_exact_sel_step_impl)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _sel_pos(qflat, n: int):
     """Phase A: the row -> selection-index map ``pos`` i32[n] (-1 for rows
@@ -650,6 +709,7 @@ def build_layer0_clustered(
     merge_heuristic: bool = True,
     select_alg4: bool = True,
     merge_slots: int = 0,
+    exact_layers: int = 65536,
     bar=None,
     layer_nb: int = 0,
     member_ids: np.ndarray | None = None,
@@ -672,7 +732,14 @@ def build_layer0_clustered(
     gathers ([rchunk, m + slots] rows per chunk at the ~60-100 ns/row
     XLA gather-descriptor floor — DEVNOTES), so slots is a direct
     build-speed knob; mean in-degree is ``m``, so truncation only
-    touches hub rows (d2-worst incoming drop first)."""
+    touches hub rows (d2-worst incoming drop first).
+
+    ``exact_layers``: upper layers (``member_ids`` given, ``layer_nb >
+    0``) with at most this many members skip the cluster machinery
+    entirely — every member's pool is ALL members, scored with chunked
+    MXU matmuls (:func:`_exact_sel_step_impl`); the merge/repair phases
+    are unchanged. At 1M/M=24 every upper layer (41.5k members and
+    below) takes this path."""
     n = len(store)
     if n == 0:
         return
@@ -688,76 +755,107 @@ def build_layer0_clustered(
             return
         mem_dev = jnp.asarray(mem)
         mcodes, mscales = codes[mem_dev], scales[mem_dev]
-    k = max(1, min(nm, -(-nm // points_per_cluster)))
-    cent, assign = kmeans(mcodes, mscales, k, iters=kmeans_iters)
-
-    smax = max(8, int(np.ceil(nm / k * smax_headroom / 8)) * 8)
-    # spatial key for chunking oversized clusters: one random projection
-    # (member-local), fetched once — 4 B/member
-    proj = np.asarray(jnp.einsum(
-        "nd,d->n",
-        dequantize(mcodes, mscales),
-        jnp.asarray(np.random.default_rng(11).standard_normal(
-            mcodes.shape[1]).astype(np.float32)),
-    ))
-    assign_np, k = _split_oversized(np.asarray(assign), k, smax, keys=proj)
-    table, overflow = _member_tables(assign_np, k, smax)
-    if mem is not None:
-        # member tables / overflow lists hold member-LOCAL positions:
-        # map to global point ids (the select step gathers by global id)
-        table = np.where(table >= 0, mem[np.clip(table, 0, nm - 1)], -1)
-    # exact per-row centroids AFTER the split (Lloyd centroids are stale
-    # for pseudo-clusters, and identical sibling centroids would tie)
-    rch = min(1024, max(8, 1 << max(k - 1, 1).bit_length()))
-    kpad = -(-k // rch) * rch
-    tpad = np.full((kpad, smax), -1, np.int32)
-    tpad[:k] = table  # global ids in both cases; gathers hit the global store
-    cent, reps_dev = _table_centroids(
-        codes, scales, jnp.asarray(tpad), rchunk=rch
-    )
-    cent = cent[:k]
-
-    # nearest clusters per cluster, self FIRST by construction: exact
-    # lax.top_k over the [K, K] matrix costs ~6 s of the 1M build (a
-    # full per-row sort); the fan-out is a candidate-pool heuristic the
-    # recall gate owns, so approx_max_k picks the c_fan-1 non-self
-    # neighbors and the self column (the one entry that is load-bearing
-    # — cluster mates MUST see each other) is prepended exactly
-    c_fan = min(fanout, k)
-    nbrcl = _nbr_clusters(cent, c_fan)
-
-    # coverage invariant: _split_oversized chunks every cluster above
-    # Smax into pseudo-clusters, so the member tables hold EVERY point
-    # (overflow handling used to live here as extra query items — the
-    # split makes it structurally impossible, and dead overflow lanes
-    # doubled every select batch's query width)
-    if overflow:
-        raise AssertionError(
-            f"member-table overflow ({overflow}) after _split_oversized"
-        )
-
-    member_dev = jnp.asarray(table)
-    g = max(1, batch_queries // smax)
     adj = graph.get_layer(layer_nb)
-
     m = params.m
     cap = graph.layer_cap(layer_nb)
 
-    # phase SELECT: neighbors for every point, one cluster-group batch
-    # per dispatch (member counts per batch drive the progress bar)
-    row_counts = np.sum(table >= 0, axis=1)
-    sels = []
-    for base in range(0, k, g):
-        cl = np.full((g,), -1, np.int32)
-        take = min(g, k - base)
-        cl[:take] = np.arange(base, base + take, dtype=np.int32)
-        sels.append(_cluster_sel_step(
-            codes, scales, member_dev, nbrcl, jnp.asarray(cl),
-            m=m, pool_p=pool_p, pool_approx=pool_approx,
-            select_alg4=select_alg4,
+    if mem is not None and layer_nb > 0 and nm <= exact_layers:
+        # exact small-layer path: upper layers hold ~4.3% of the points
+        # but each clustered pass pays the full fixed machinery (k-means,
+        # split, member tables, centroid pass, fan-out top-k, a select
+        # loop) — measured 67 s of a 173 s 1M build, 7.8 s for a
+        # 79-member layer. For nm <= exact_layers the all-members pool
+        # is one chunked MXU matmul per batch: exact, fewer dispatches,
+        # and a strict superset of any cluster pool.
+        nm_pad = max(256, 1 << (nm - 1).bit_length())
+        mem_pad = np.full((nm_pad,), -1, np.int32)
+        mem_pad[:nm] = mem
+        mem_all = jnp.asarray(mem_pad)
+        bq = min(batch_queries, nm_pad)
+        sels = []
+        for base in range(0, nm, bq):
+            qc = np.full((bq,), -1, np.int32)
+            take = min(bq, nm - base)
+            qc[:take] = mem[base : base + take]
+            sels.append(_exact_sel_step(
+                codes, scales, jnp.asarray(qc), mem_all,
+                m=m, pool_p=pool_p, select_alg4=select_alg4,
+            ))
+            if bar is not None:
+                bar.inc(take)
+    else:
+        k = max(1, min(nm, -(-nm // points_per_cluster)))
+        cent, assign = kmeans(mcodes, mscales, k, iters=kmeans_iters)
+
+        smax = max(8, int(np.ceil(nm / k * smax_headroom / 8)) * 8)
+        # spatial key for chunking oversized clusters: one random
+        # projection (member-local), fetched once — 4 B/member
+        proj = np.asarray(jnp.einsum(
+            "nd,d->n",
+            dequantize(mcodes, mscales),
+            jnp.asarray(np.random.default_rng(11).standard_normal(
+                mcodes.shape[1]).astype(np.float32)),
         ))
-        if bar is not None:
-            bar.inc(int(np.sum(row_counts[base : base + take])))
+        assign_np, k = _split_oversized(np.asarray(assign), k, smax,
+                                        keys=proj)
+        table, overflow = _member_tables(assign_np, k, smax)
+        if mem is not None:
+            # member tables / overflow lists hold member-LOCAL positions:
+            # map to global point ids (the select step gathers by global
+            # id)
+            table = np.where(table >= 0, mem[np.clip(table, 0, nm - 1)],
+                             -1)
+        # exact per-row centroids AFTER the split (Lloyd centroids are
+        # stale for pseudo-clusters, and identical sibling centroids
+        # would tie)
+        rch = min(1024, max(8, 1 << max(k - 1, 1).bit_length()))
+        kpad = -(-k // rch) * rch
+        tpad = np.full((kpad, smax), -1, np.int32)
+        tpad[:k] = table  # global ids either way; gathers hit the store
+        cent, reps_dev = _table_centroids(
+            codes, scales, jnp.asarray(tpad), rchunk=rch
+        )
+        cent = cent[:k]
+
+        # nearest clusters per cluster, self FIRST by construction:
+        # exact lax.top_k over the [K, K] matrix costs ~6 s of the 1M
+        # build (a full per-row sort); the fan-out is a candidate-pool
+        # heuristic the recall gate owns, so approx_max_k picks the
+        # c_fan-1 non-self neighbors and the self column (the one entry
+        # that is load-bearing — cluster mates MUST see each other) is
+        # prepended exactly
+        c_fan = min(fanout, k)
+        nbrcl = _nbr_clusters(cent, c_fan)
+
+        # coverage invariant: _split_oversized chunks every cluster above
+        # Smax into pseudo-clusters, so the member tables hold EVERY
+        # point (overflow handling used to live here as extra query
+        # items — the split makes it structurally impossible, and dead
+        # overflow lanes doubled every select batch's query width)
+        if overflow:
+            raise AssertionError(
+                f"member-table overflow ({overflow}) after _split_oversized"
+            )
+
+        member_dev = jnp.asarray(table)
+        g = max(1, batch_queries // smax)
+
+        # phase SELECT: neighbors for every point, one cluster-group
+        # batch per dispatch (member counts per batch drive the progress
+        # bar)
+        row_counts = np.sum(table >= 0, axis=1)
+        sels = []
+        for base in range(0, k, g):
+            cl = np.full((g,), -1, np.int32)
+            take = min(g, k - base)
+            cl[:take] = np.arange(base, base + take, dtype=np.int32)
+            sels.append(_cluster_sel_step(
+                codes, scales, member_dev, nbrcl, jnp.asarray(cl),
+                m=m, pool_p=pool_p, pool_approx=pool_approx,
+                select_alg4=select_alg4,
+            ))
+            if bar is not None:
+                bar.inc(int(np.sum(row_counts[base : base + take])))
 
     # phase A: the row -> selection-index map (one narrow scatter; the
     # merge gathers own rows/distances through it — no wide scatters)
