@@ -228,6 +228,8 @@ def sharded_cluster_layer(
     pool_approx: bool = False,
     merge_heuristic: bool = True,
     select_alg4: bool = True,
+    merge_slots: int = 0,
+    exact_layers: int = 0,
     train_per_cluster: int = 8,
     repair_rounds: int = 10,
 ):
@@ -238,6 +240,13 @@ def sharded_cluster_layer(
     host i64[S] live rows per shard; ``levels`` host i32[S, ns] per-row
     levels (-1 dead). Returns (adj_s, indeg_s, reps host i32[S, Kmax]
     with -1 pads — layer-0 serving pivot hints per shard).
+
+    ``merge_slots`` mirrors the single-chip knob (0 = ``2 * cap``).
+    ``exact_layers`` is accepted for cluster_kwargs compatibility with
+    the single-chip builder but IGNORED here: the shard_map pipeline
+    runs the clustered select on every layer (per-shard upper layers
+    are small, and a shard-lockstep exact path would gain nothing —
+    the shard axis already amortizes the fixed machinery).
     """
     S, ns, d = codes_s.shape
     shard = NamedSharding(mesh, P("shard"))
@@ -380,7 +389,8 @@ def sharded_cluster_layer(
             lambda a, q, sd, si, r, c, sc: tuple(
                 x[None] for x in _merge_shard(
                     a[0], q[0], sd[0], si[0], r[0], c[0], sc[0],
-                    slots=2 * cap, rchunk=rchunk, rows_mode=rows_mode,
+                    slots=merge_slots or 2 * cap, rchunk=rchunk,
+                    rows_mode=rows_mode,
                     heuristic=merge_heuristic, repair_rounds=repair_rounds,
                 )
             ),
