@@ -139,3 +139,43 @@ def test_cluster_overflow_chunks_cover_every_point():
     truth = np.asarray(ti)[:, :K]
     r = _recall(idx, ds, truth, 48)
     assert r >= 0.9, r
+
+
+def test_exact_sel_step_matches_numpy_oracle():
+    """_exact_sel_step (the small-layer path): with select_alg4=False
+    the selection must be exactly the m nearest OTHER members in
+    quantized space, (d2, id) lex-ordered, PAD-padded — checked against
+    a brute-force numpy oracle, including pad query lanes and member
+    pads."""
+    from hnsw_rs_tpu.build_cluster import _exact_sel_step
+    from hnsw_rs_tpu.ops.topk import PAD_ID
+
+    rng = np.random.default_rng(7)
+    n, d, m = 61, 8, 5
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    codes, scales = quantize(jnp.asarray(vecs))
+    deq = np.asarray(dequantize(codes, scales), np.float64)
+
+    # members: a strided subset, padded to 64; queries: all members
+    # (+ two pad lanes)
+    mem = np.arange(0, n, 2, dtype=np.int32)  # 31 members
+    mem_pad = np.full((64,), -1, np.int32)
+    mem_pad[: mem.size] = mem
+    qids = np.full((mem.size + 2,), -1, np.int32)
+    qids[: mem.size] = mem
+
+    qflat, sel_d2, sel_ids = _exact_sel_step(
+        codes, scales, jnp.asarray(qids), jnp.asarray(mem_pad),
+        m=m, pool_p=16, select_alg4=False,
+    )
+    sel_d2, sel_ids = np.asarray(sel_d2), np.asarray(sel_ids)
+    assert np.array_equal(np.asarray(qflat), qids)
+    for i, q in enumerate(qids):
+        if q < 0:
+            assert np.all(sel_ids[i] == PAD_ID), "pad lane must stay PAD"
+            continue
+        others = mem[mem != q]
+        d2 = np.sum((deq[others] - deq[q]) ** 2, axis=1)
+        order = np.lexsort((others, d2))[:m]
+        assert np.array_equal(sel_ids[i], others[order]), f"query {q}"
+        np.testing.assert_allclose(sel_d2[i], d2[order], rtol=1e-5)
