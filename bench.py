@@ -56,11 +56,16 @@ def main() -> None:
     # gate in ~24 beam iterations from pivot seeds vs ~280 at M=16).
     # PIVOTS=16384: cluster builds emit ~N/96 per-cluster reps; the
     # budget must cover them or micro-regions go seedless (DEVNOTES)
-    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 16384
+    # NQ: the TIMED batch is 32,768 UNIQUE queries (duplicate-tiled
+    # batches share beam paths and flatter QPS via memory locality);
+    # recall is measured on the first NQ_RECALL of them against exact
+    # ground truth (4k x 1M exact top-k is a few seconds of MXU, cached).
+    D, K, M, EF_CONS, NQ, NQ_RECALL, PIVOTS = 96, 10, 24, 128, 32768, 4096, 16384
     cache = os.path.join(ROOT, ".bench_cache")
     tag = f"n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
-    gt_path = os.path.join(cache, f"gt_n{N}_d{D}.npz")  # graph-independent
+    # graph-independent; keyed by query count (unique-query batch, r4)
+    gt_path = os.path.join(cache, f"gt_n{N}_d{D}_q{NQ_RECALL}.npz")
     meta_path = os.path.join(cache, f"meta_{tag}.json")
     os.makedirs(cache, exist_ok=True)
 
@@ -137,7 +142,7 @@ def main() -> None:
     if os.path.exists(gt_path):
         truth = np.load(gt_path)["ids"]
     else:
-        qq = dequantize(*quantize(jnp.asarray(ds.test)))
+        qq = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
         normsq = point_normsq(index.points.codes, index.points.scales)
         _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
             qq, index.points.codes, index.points.scales, normsq
@@ -149,7 +154,7 @@ def main() -> None:
     packed0 = index._packed0
     pivot_ids, pivot_vecs = index._pivots
     truth_sets = [set(t) for t in truth]
-    q1k = dequantize(*quantize(jnp.asarray(ds.test)))
+    q1k = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
 
     # cheapest (ef, max_iters) clearing the 0.99 recall gate, in
     # ascending cost order (cost ~ max_iters; see DEVNOTES gather floor)
@@ -186,9 +191,8 @@ def main() -> None:
         d, i = _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q, ef, k, mi)
         return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
-    batch = 32768
-    big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
-    q = dequantize(*quantize(jnp.asarray(big)))
+    batch = NQ  # 32,768 unique queries — no duplicate tiling
+    q = dequantize(*quantize(jnp.asarray(ds.test)))
 
     args = (packed0, pivot_ids, pivot_vecs, q)
     int(search_sum(*args, ef, K, max_iters))  # compile + warm
@@ -208,8 +212,21 @@ def main() -> None:
     # the TPU build is only partly host-bound, so a slow-host session
     # INFLATES the same-session x-factor; max() keeps the reported
     # multiple conservative no matter which host state measured it.
+    # The floor is scoped to THIS dev VM (1-core Xeon @2.10GHz): on any
+    # other host the locally-measured rate stands on its own — a faster
+    # host must not inherit a slower machine's calibration (which would
+    # overstate the x-factor) and vice versa.
     CPU_BASELINE_FLOOR = 939.9  # best idle cross-session measurement
-    if cpu_bv:
+    FLOOR_HOST = (1, "Intel(R) Xeon(R) Processor @ 2.10GHz")
+    try:
+        with open("/proc/cpuinfo") as f:
+            model = next(
+                (ln.split(":", 1)[1].strip() for ln in f
+                 if ln.startswith("model name")), "")
+        this_host = (os.cpu_count(), model)
+    except OSError:
+        this_host = None
+    if cpu_bv and this_host == FLOOR_HOST:
         cpu_bv = max(cpu_bv, CPU_BASELINE_FLOOR)
     bx = f", {build_rate / cpu_bv:.1f}x 1-core C++ {cpu_bv:.0f}" if cpu_bv else ""
     # serving-memory honesty: device bytes per point actually held by this

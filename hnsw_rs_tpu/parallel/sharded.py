@@ -270,15 +270,15 @@ class ShardedHNSW:
                 )
         self._offsets = bounds[:-1]
         if concurrent and build_kwargs.pop("cluster_build", False):
-            self._build_concurrent_cluster(
-                vectors, bounds, build_kwargs.pop("cluster_kwargs", None)
-                or {},
-            )
+            cluster_kwargs = build_kwargs.pop("cluster_kwargs", None) or {}
             if build_kwargs:
+                # validate BEFORE the expensive mesh build: a typo'd kwarg
+                # must not cost a full build and leave a built object
                 raise TypeError(
                     "unsupported kwargs with concurrent cluster build: "
                     f"{sorted(build_kwargs)}"
                 )
+            self._build_concurrent_cluster(vectors, bounds, cluster_kwargs)
             return self
         if build_kwargs:
             concurrent = False

@@ -49,8 +49,11 @@ from ..build_cluster import (
 )
 from ..ops.quant import dequantize
 from ..ops.topk import INF
+from ..utils.logging import get_logger
 
 __all__ = ["sharded_cluster_layer"]
+
+_log = get_logger("parallel.sharded_cluster")
 
 
 def _unwrap(fn):
@@ -63,16 +66,29 @@ def _unwrap(fn):
 # phase 1: per-shard k-means over members + split projection
 
 
+# Dead-centroid sentinel: the assignment score is x.c - |c|^2/2, so a
+# centroid at (DEAD, DEAD, ...) scores ~ -d*DEAD^2/2 and never wins
+# argmax for any real point; empty clusters KEEP their centroid in
+# _lloyd_iter, so a dead centroid stays dead through every iteration.
+# (d * DEAD^2 / 2 must stay inside f32: 2048 * 1e30 / 2 ~ 1e33 < 3.4e38.)
+_DEAD_CENT = 1.0e15
+
+
 def _prep_shard(codes, scales, rows, rcount, k: int, iters: int,
-                train_per_cluster: int, chunk: int):
+                train_per_cluster: int, chunk: int, ppc: int):
     """Per-shard body: k-means assignment for this shard's members.
 
     ``rows`` i32[Rpad] member LOCAL row ids (-1 pad), ``rcount`` i32[]
     true member count. Mirrors ``build_cluster.kmeans`` with the sample
     indices computed against ``rcount`` instead of a static length (the
     stacked member axis is padded to the max across shards; linspace
-    picks must never land on pad rows). Returns (assign i32[Rpad] vs the
-    FINAL centroids, proj f32[Rpad])."""
+    picks must never land on pad rows), and with a PER-SHARD effective
+    centroid count ``ksh = ceil(rcount / ppc)``: the static shape stays
+    ``k`` (derived from the largest shard) but centroids ``>= ksh`` are
+    dead sentinels, so a small shard is clustered at the same
+    points-per-cluster granularity as the big ones rather than
+    over-fragmented into ~rcount/k-point pools. Returns (assign
+    i32[Rpad] vs the FINAL centroids, proj f32[Rpad])."""
     from ..build_cluster import _assign_only, _lloyd_iter
 
     rpad = rows.shape[0]
@@ -82,6 +98,7 @@ def _prep_shard(codes, scales, rows, rcount, k: int, iters: int,
 
     train_n = min(rpad, max(k * train_per_cluster, 4096))
     cnt = jnp.maximum(rcount, 1).astype(jnp.float32)
+    ksh = jnp.clip((rcount + ppc - 1) // ppc, 1, k)  # traced per-shard k
     # evenly-spaced picks over the LIVE member prefix (rows are dense
     # member-first by construction)
     tpos = jnp.clip(
@@ -94,11 +111,15 @@ def _prep_shard(codes, scales, rows, rcount, k: int, iters: int,
     tcodes, tscales = mcodes[tpos], mscales[tpos]
     ipos = jnp.clip(
         jnp.round(
-            jnp.arange(k, dtype=jnp.float32) * (cnt - 1.0) / max(k - 1, 1)
+            jnp.arange(k, dtype=jnp.float32) * (cnt - 1.0)
+            / jnp.maximum(ksh - 1, 1).astype(jnp.float32)
         ).astype(jnp.int32),
         0, rpad - 1,
     )
     cent = dequantize(mcodes[ipos], mscales[ipos])
+    cent = jnp.where(
+        (jnp.arange(k, dtype=jnp.int32) >= ksh)[:, None], _DEAD_CENT, cent
+    )
     tchunk = min(chunk, train_n)
     for _ in range(max(iters, 1)):
         cent, _ = _unwrap(_lloyd_iter)(tcodes, tscales, cent, tchunk)
@@ -280,6 +301,7 @@ def sharded_cluster_layer(
                 x[None] for x in _prep_shard(
                     c[0], sc[0], r[0], rc[0], k=k, iters=kmeans_iters,
                     train_per_cluster=train_per_cluster, chunk=chunk,
+                    ppc=points_per_cluster,
                 )
             ),
             mesh=mesh,
@@ -305,11 +327,14 @@ def sharded_cluster_layer(
             ks.append(0)
             continue
         a = assign_h[s, :nm].copy()
-        ksh = max(1, min(nm, -(-nm // points_per_cluster)))
-        # per-shard k-means used k centroids; clamp stray ids (pad-fed
-        # assignment lanes can only appear past nm, already sliced off)
-        np.clip(a, 0, ksh - 1, out=a)
-        a, ksp = _split_oversized(a, ksh, smax, keys=proj_h[s, :nm])
+        # prep's k-means ran with the GLOBAL k centroids on every shard
+        # (k is derived from rmax, the largest shard), so assignments are
+        # already in [0, k) — no clamp. A shard with nm < rmax simply
+        # leaves some clusters empty; empty rows become pad clusters
+        # (all -1), masked by _tables_shard's `live` and the select
+        # qids mask. (Clamping to a re-derived per-shard ksh < k used to
+        # merge every real cluster with id >= ksh into one megacluster.)
+        a, ksp = _split_oversized(a, k, smax, keys=proj_h[s, :nm])
         t, ov = _member_tables(a, ksp, smax)
         if ov:
             raise AssertionError(
@@ -404,6 +429,31 @@ def sharded_cluster_layer(
     adj_s, indeg_s = merge(
         adj_s, qflat, sel_d2, sel_ids, mrows_d, codes_s, scales_s
     )
+
+    # The on-device fixpoint is capped at repair_rounds per shard; unlike
+    # the single-chip builder there is no host repair_connectivity
+    # backstop here, so surface any residual orphans instead of assuming
+    # convergence (S scalars — cheap even through the dev tunnel).
+    resid = np.asarray(
+        jax.jit(
+            jax.shard_map(
+                lambda a, i: jnp.sum(
+                    jnp.logical_and(jnp.sum(a[0] >= 0, axis=1) > 0,
+                                    i[0] == 0)
+                )[None],
+                mesh=mesh,
+                in_specs=(P("shard"), P("shard")),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )(adj_s, indeg_s)
+    )
+    if resid.sum():
+        _log.warning(
+            "orphan fixpoint hit the %d-round cap on layer %d with "
+            "unreachable rows remaining per shard: %s",
+            repair_rounds, layer_nb, resid.tolist(),
+        )
 
     reps = None
     if layer_nb == 0:

@@ -70,6 +70,69 @@ def test_cluster_build_kwargs_route_to_host_builder():
     assert recall(ids2, truth) > 0.9
 
 
+def test_prep_shard_per_shard_granularity():
+    """The per-shard prep k-means clusters every shard at the same
+    points-per-cluster granularity: a shard with 1/4 the members must use
+    ~1/4 the centroids (the rest are dead sentinels), not the global k
+    (over-fragmented ~1-point pools) nor a clamp-merged megacluster (the
+    round-3 bug: every cluster id >= ksh collapsed into ksh-1)."""
+    import jax.numpy as jnp
+
+    from hnsw_rs_tpu.ops.quant import quantize
+    from hnsw_rs_tpu.parallel.sharded_cluster import _prep_shard
+
+    rng = np.random.default_rng(11)
+    n, d, ppc = 512, 16, 16
+    codes, scales = quantize(jnp.asarray(rng.random((n, d), np.float32)))
+    k = -(-n // ppc)  # global k from the largest shard
+
+    # small shard: 128 live members -> ksh = 8 effective centroids
+    rows = np.full(n, -1, np.int32)
+    rows[:128] = np.arange(128)
+    assign, _ = _prep_shard(
+        codes, scales, jnp.asarray(rows), jnp.int32(128),
+        k=k, iters=2, train_per_cluster=8, chunk=256, ppc=ppc,
+    )
+    live = np.asarray(assign)[:128]
+    ksh = -(-128 // ppc)
+    assert live.max() < ksh, f"assignment {live.max()} >= ksh {ksh}"
+    assert len(np.unique(live)) >= ksh // 2, "degenerate clustering"
+
+    # full shard: all k centroids live, same as the single-chip kmeans
+    full_assign, _ = _prep_shard(
+        codes, scales, jnp.asarray(np.arange(n, dtype=np.int32)),
+        jnp.int32(n), k=k, iters=2, train_per_cluster=8, chunk=256, ppc=ppc,
+    )
+    assert len(np.unique(np.asarray(full_assign))) > k // 2
+
+
+def test_concurrent_cluster_build_uneven_shards():
+    """Uneven partition_bounds: the shard_map'd cluster build must stay
+    in the sequential path's recall family when shard sizes differ 5x
+    (the round-3 clamp bug degraded exactly this case)."""
+    vecs = gen_rand_vecs(960, DIM, seed=8)
+    queries = gen_rand_vecs(24, DIM, seed=9)
+    flat = FlatIndex(DIM)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+
+    idx = ShardedHNSW(M, DIM, n_shards=4, mesh=make_mesh(1, 4))
+    idx.insert_bulk(
+        vecs, cluster_build=True, partition_bounds=[0, 600, 760, 880, 960],
+        cluster_kwargs=dict(points_per_cluster=24, fanout=4, pool_p=64),
+    )
+    assert len(idx) == 960
+    _, ids = idx.ann_batch(queries, 10, 60)
+    r = recall(ids, truth)
+    assert r > 0.95, f"uneven-shard cluster recall {r}"
+    assert np.all((ids >= 0) & (ids < 960))
+
+    # self-queries from the smallest and largest shards both resolve
+    _, ids2 = idx.ann_batch(np.concatenate([vecs[:32], vecs[-32:]]), 1, 40)
+    want = np.concatenate([np.arange(32), np.arange(960 - 32, 960)])
+    assert np.mean(ids2[:, 0] == want) > 0.95
+
+
 def test_concurrent_cluster_build():
     """cluster_build=True + concurrent=True: every shard cluster-builds
     at once under shard_map (parallel.sharded_cluster) — same recall
