@@ -17,6 +17,37 @@ Layer map (mirrors SURVEY.md §1):
   ``eval_glove`` analogues)
 """
 
+def _disable_numpy_thp_madvise() -> None:
+    """Stop numpy from madvise(MADV_HUGEPAGE)-ing large allocations.
+
+    On this VM class (firecracker, THP enabled=madvise defrag=madvise)
+    every 2 MB hugepage fault triggers synchronous compaction: a fresh
+    384 MB numpy buffer takes ~11-18 s to first-touch vs ~0.3 s with the
+    madvise disabled — a measured 56x swing that dominated the host-side
+    build phases (quantize temps, member tables) and is the root cause
+    of the "host CPU state swings ~3x between sessions" mystery in
+    DEVNOTES (it tracks host memory fragmentation, not CPU load).
+    Big-array THP upside is negligible next to that; opt back in with
+    HNSW_NUMPY_HUGEPAGE=1. Runtime toggle (not the NUMPY_MADVISE_HUGEPAGE
+    env var) because the interpreter's sitecustomize imports numpy
+    before any user code runs."""
+    import os as _os
+
+    if _os.environ.get("HNSW_NUMPY_HUGEPAGE"):
+        return
+    try:
+        import numpy as _np
+
+        _np._core.multiarray._set_madvise_hugepage(False)
+    except (ImportError, AttributeError):
+        try:
+            _np.core.multiarray._set_madvise_hugepage(False)  # numpy < 2
+        except Exception:
+            pass
+
+
+_disable_numpy_thp_madvise()
+
 from .params import Params, get_default_ml
 from .store import PointStore
 from .models.flat import FlatIndex

@@ -85,6 +85,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.quantize_rows.restype = ctypes.c_int64
+        lib.quantize_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
 
@@ -108,6 +113,28 @@ def assemble_packed_rows(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out if got == ids.size else None
+
+
+def quantize_rows(x: "np.ndarray"):
+    """Fused single-pass per-vector u8 quantization on host (see
+    fastio.cpp): returns (codes u8[n, d], scales f32[n, 2]) bit-identical
+    to ``ops.quant.quantize_np``, or None when the native library is
+    unavailable (callers fall back to numpy). Exists because the numpy
+    pipeline's ~6 full-size passes cost ~13 s at 1M x 96 on this 1-core
+    host — a top-2 component of the bulk-build wall (DEVNOTES)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    n, d = x.shape
+    codes = np.empty((n, d), np.uint8)
+    scales = np.empty((n, 2), np.float32)
+    got = lib.quantize_rows(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return (codes, scales) if got == n else None
 
 
 WORD_CAP = 64

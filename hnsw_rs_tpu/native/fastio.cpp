@@ -10,6 +10,7 @@
 // Exposed with C linkage and driven from Python via ctypes (no pybind11
 // dependency). Build: see native/__init__.py (g++ -O3 -shared -fPIC).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -220,6 +221,48 @@ int64_t assemble_packed_rows(const char* adj_path, int64_t n, int64_t cap,
     unmap(adj_m);
     unmap(blk_m);
     return k;
+}
+
+// Fused single-pass per-vector 8-bit scalar quantization (the hot host
+// step of bulk builds: numpy's min/max/sub/div/floor pipeline makes ~6
+// full-size passes + temps over the f32 input; this makes 2 cache-hot
+// passes per row and writes codes+scales directly). Arithmetic is
+// bit-identical to ops.quant.quantize_np — every op is a single IEEE-754
+// f32 min/max/sub/div/add/floor in the same order (no FMA contraction
+// applies: there is no mul+add pair), so codes match the numpy and the
+// XLA:CPU device paths exactly (pinned by tests/test_native.py).
+// Mirrors the role of QuantVec::new (vectors/src/quant.rs:41-66).
+int64_t quantize_rows(const float* x, int64_t n, int64_t d,
+                      uint8_t* codes, float* scales) {
+    if (n <= 0 || d <= 0) return -1;
+    for (int64_t i = 0; i < n; i++) {
+        const float* row = x + i * d;
+        float mn = row[0], mx = row[0];
+        for (int64_t j = 1; j < d; j++) {
+            float v = row[j];
+            if (v < mn) mn = v;
+            if (v > mx) mx = v;
+        }
+        float delta = (mx - mn) / 255.0f;
+        float safe = delta > 0.0f ? delta : 1.0f;
+        float inv_used = safe;  // keep true division (x-mn)/safe: a
+        // reciprocal-multiply would round differently from numpy
+        uint8_t* oc = codes + i * d;
+        if (delta > 0.0f) {
+            for (int64_t j = 0; j < d; j++) {
+                float t = (row[j] - mn) / inv_used;
+                float f = std::floor(t + 0.5f);
+                if (f < 0.0f) f = 0.0f;
+                if (f > 255.0f) f = 255.0f;
+                oc[j] = (uint8_t)f;
+            }
+        } else {
+            for (int64_t j = 0; j < d; j++) oc[j] = 0;
+        }
+        scales[i * 2] = mn;
+        scales[i * 2 + 1] = delta;
+    }
+    return n;
 }
 
 }  // extern "C"

@@ -52,10 +52,21 @@ def quantize_np(x) -> tuple:
     ``tests/test_quant.py::test_host_quantize_matches_device``). Exists
     so bulk builds can upload ``uint8`` codes + 8 B/point scales instead
     of the raw f32 vectors — 4x less host->device traffic, which is a
-    measured chunk of the 1M build through the dev tunnel."""
+    measured chunk of the 1M build through the dev tunnel.
+
+    Dispatches to the native fused single-pass kernel when available
+    (``native.quantize_rows`` — the numpy pipeline below makes ~6
+    full-size passes + temps, ~13 s at 1M x 96 on this 1-core host);
+    both paths are bit-identical (tests/test_native.py)."""
     import numpy as np
 
     x = np.asarray(x, np.float32)
+    if x.ndim == 2 and x.shape[0] >= 1024:  # native pays off in bulk
+        from ..native import quantize_rows
+
+        out = quantize_rows(x)
+        if out is not None:
+            return out
     mn = np.min(x, axis=-1, keepdims=True)
     mx = np.max(x, axis=-1, keepdims=True)
     delta = (mx - mn) / np.float32(LEVELS)

@@ -110,3 +110,31 @@ def test_native_packed_row_assembly_matches_numpy(tmp_path):
         axis=1,
     )
     np.testing.assert_array_equal(native, ref)
+
+
+def test_native_quantize_matches_numpy_bitwise():
+    """native.quantize_rows is bit-identical to the numpy pipeline in
+    ops.quant (same IEEE-754 f32 op sequence), including the delta == 0
+    constant-row case and negative values."""
+    from hnsw_rs_tpu.native import quantize_rows
+    from hnsw_rs_tpu.ops.quant import LEVELS
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 3, (2048, 51)).astype(np.float32)
+    x[7, :] = 1.25  # constant row -> delta == 0
+    x[100:110] *= 1e-6  # tiny-range rows
+
+    got = quantize_rows(x)
+    assert got is not None
+
+    # inline numpy reference (quantize_np would dispatch to native)
+    mn = np.min(x, axis=-1, keepdims=True)
+    mx = np.max(x, axis=-1, keepdims=True)
+    delta = (mx - mn) / np.float32(LEVELS)
+    safe = np.where(delta > 0.0, delta, 1.0).astype(np.float32)
+    t = np.where(delta > 0.0, (x - mn) / safe, 0.0).astype(np.float32)
+    codes = np.clip(np.floor(t + np.float32(0.5)), 0.0, LEVELS).astype(np.uint8)
+    scales = np.concatenate([mn, delta], axis=-1).astype(np.float32)
+
+    np.testing.assert_array_equal(got[0], codes)
+    np.testing.assert_array_equal(got[1].view(np.uint32), scales.view(np.uint32))
