@@ -58,11 +58,24 @@ p.add_argument("--lag", type=int, default=1)
 p.add_argument("--wave-sort", action="store_true")
 p.add_argument("--wave-cap", type=int, default=4096)
 p.add_argument("--once", action="store_true", help="skip the cold build")
+p.add_argument("--regime", default="clustered",
+               choices=["clustered", "heavy-tailed"],
+               help="dataset regime (heavy-tailed: Zipf blob sizes + scale "
+                    "spread + 20%% tail queries — the second committed "
+                    "serving regime)")
+p.add_argument("--cover", type=float, default=0.25,
+               help="finalize pivot_cover (k-center fill share)")
+p.add_argument("--nq", type=int, default=256)
 p.add_argument("--tag", default="")
 a = p.parse_args()
 
 D, K = 96, 10
-ds = synthetic_clustered(a.n, D, n_queries=256, seed=42)
+if a.regime == "heavy-tailed":
+    from hnsw_rs_tpu.utils.datasets import synthetic_heavy_tailed
+
+    ds = synthetic_heavy_tailed(a.n, D, n_queries=a.nq, seed=42)
+else:
+    ds = synthetic_clustered(a.n, D, n_queries=a.nq, seed=42)
 kw = dict(
     max_iters=a.mi,
     build_seeded=a.seeded,
@@ -80,6 +93,10 @@ kw = dict(
 )
 tag = a.tag or (
     f"mi={a.mi} efc={a.efc}"
+    + (f" {a.regime}" if a.regime != "clustered" else "")
+    + (f" ppc={a.ppc}" if a.ppc != 256 else "")
+    + (f" cover={a.cover}" if a.cover != 0.25 else "")
+    + (f" piv={a.pivots}" if a.pivots != 8192 else "")
     + (" seeded" if a.seeded else "")
     + (" cluster" if a.cluster else "")
     + (f" fan={a.fanout}" if a.fanout != 12 else "")
@@ -114,8 +131,11 @@ _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
     qq, idx.points.codes, idx.points.scales, normsq
 )
 truth = [set(t) for t in np.asarray(ti)[:, :K]]
-idx.finalize(pivots=a.pivots)
-for ef, mi_q in ((16, 8), (24, 12), (40, 24), (48, 32), (64, 56), (96, 80)):
+idx.finalize(pivots=a.pivots, pivot_cover=a.cover)
+ladder = ((16, 8), (24, 12), (40, 24), (48, 32), (64, 56), (96, 80))
+if a.regime == "heavy-tailed":  # this regime's gate sits much deeper
+    ladder += ((128, 112), (192, 200), (256, 280), (384, 500), (512, 700))
+for ef, mi_q in ladder:
     _, ann = _ann_seeded_jit(
         idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
     )
