@@ -439,6 +439,7 @@ class HNSW:
         pq_iters: int = 12,
         pq_rerank: int = 0,
         pq_opq: bool = False,
+        pq_bits: int = 8,
         pivot_fill: str = "cover",
         pivot_cover: float = 0.25,
     ) -> "HNSW":
@@ -491,6 +492,13 @@ class HNSW:
         first (``ops.pq.opq_train``) — same memory, strictly lower
         quantization error; the ADC beam builds its LUT from ``q @ R``.
 
+        ``pq_bits=4`` keeps ``pq_m`` BYTES per point but splits them into
+        ``2 * pq_m`` subspaces with 16-entry codebooks, nibble-packed —
+        same memory, and the ADC lookup becomes a gather-free unrolled
+        compare-select (``ops.pq.adc_score16``) instead of per-element
+        LUT gathers, which is what makes the PQ beam throughput-grade
+        (the LUT gathers were ~100% of the round-3 PQ serving cost).
+
         Re-run after inserts (a stale pack is detected and bypassed,
         never served). Returns self."""
         self.flush()
@@ -498,18 +506,24 @@ class HNSW:
             if pivots <= 0:
                 raise ValueError("pq_m > 0 requires pivots > 0 "
                                  "(PQ serving seeds from the pivot table)")
-            if self.params.dim % pq_m != 0:
-                raise ValueError(f"pq_m {pq_m} must divide dim "
+            if pq_bits not in (4, 8):
+                raise ValueError(f"pq_bits must be 4 or 8, got {pq_bits}")
+            # m_sub subspaces of pq_bits each; pq_m stays BYTES per point
+            m_sub = pq_m if pq_bits == 8 else 2 * pq_m
+            nv = 1 << pq_bits
+            if self.params.dim % m_sub != 0:
+                raise ValueError(f"{m_sub} subspaces (pq_m {pq_m} at "
+                                 f"{pq_bits} bits) must divide dim "
                                  f"{self.params.dim}")
             packed = False  # the PQ pack replaces the exact-code pack
             if len(self) > 0:
-                from ..ops.pq import encode_pq, train_pq
+                from ..ops.pq import encode_pq, pack_nibbles, train_pq
 
                 n = len(self)
                 x = dequantize(self.points.codes[:n],
                                self.points.scales[:n])
                 # train on a deterministic even subsample: the batched
-                # Lloyd step materializes a [Ntrain, m_pq, 256] distance
+                # Lloyd step materializes a [Ntrain, m_sub, nv] distance
                 # temp (vmapped subspaces), which at full million scale
                 # is tens of GB; 64k samples train codebooks to the same
                 # distortion (standard PQ practice)
@@ -522,15 +536,17 @@ class HNSW:
                     from ..ops.pq import opq_train
 
                     rot, cb = opq_train(
-                        x, pq_m, pq_iters=pq_iters, seed=0, train_n=ts
+                        x, m_sub, pq_iters=pq_iters, seed=0, train_n=ts,
+                        nv=nv,
                     )
                 elif ts < n:
                     pick = jnp.asarray(
                         np.linspace(0, n - 1, ts).round().astype(np.int64)
                     )
-                    cb = train_pq(x[pick], pq_m, iters=pq_iters, seed=0)
+                    cb = train_pq(x[pick], m_sub, iters=pq_iters, seed=0,
+                                  nv=nv)
                 else:
-                    cb = train_pq(x, pq_m, iters=pq_iters, seed=0)
+                    cb = train_pq(x, m_sub, iters=pq_iters, seed=0, nv=nv)
                 # encode everything in chunks for the same temp reason
                 if rot is not None:
                     x = jnp.dot(x, rot, preferred_element_type=jnp.float32)
@@ -541,6 +557,10 @@ class HNSW:
                          for s in range(0, n, ch)]
                     )
                 )
+                if pq_bits == 4:
+                    # stored + packed form is nibble-packed: pq_m bytes
+                    # per point either way (search dispatches on nv)
+                    pq_codes = pack_nibbles(pq_codes)
                 packed_pq = pack_layer_pq(
                     self.graph.get_layer(0)[:n], pq_codes
                 )

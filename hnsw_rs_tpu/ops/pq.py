@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["pq_train", "pq_encode", "pq_decode", "train_pq", "encode_pq",
-           "pq_lut", "adc_score", "opq_train"]
+           "pq_lut", "adc_score", "adc_score16", "pack_nibbles",
+           "unpack_nibbles", "opq_train"]
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -76,17 +77,19 @@ def pq_encode(res: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
 
 
 def train_pq(
-    x: jnp.ndarray, m_pq: int, iters: int = 12, seed: int = 0
+    x: jnp.ndarray, m_pq: int, iters: int = 12, seed: int = 0, nv: int = 256
 ) -> jnp.ndarray:
     """Convenience wrapper over :func:`pq_train` for flat [N, d] input:
-    reshapes into subspaces and draws a deterministic 256-row init."""
+    reshapes into subspaces and draws a deterministic ``nv``-row init.
+    ``nv=16`` trains 4-bit sub-codebooks (the LUT16 serving mode —
+    :func:`adc_score16`)."""
     n, d = x.shape
     if d % m_pq != 0:
         raise ValueError(f"m_pq {m_pq} must divide dim {d}")
     rng = np.random.default_rng(seed)
-    init = rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
-    if n < 256:  # tiny collections: repeat rows to fill the codebook
-        init = np.concatenate([init, np.zeros(256 - n, np.int32)])
+    init = rng.choice(n, size=min(nv, n), replace=False).astype(np.int32)
+    if n < nv:  # tiny collections: repeat rows to fill the codebook
+        init = np.concatenate([init, np.zeros(nv - n, np.int32)])
     res = jnp.asarray(x, jnp.float32).reshape(n, m_pq, d // m_pq)
     return pq_train(res, jnp.asarray(init), iters)
 
@@ -116,6 +119,7 @@ def opq_train(
     opq_iters: int = 6,
     seed: int = 0,
     train_n: int = 131072,
+    nv: int = 256,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """OPQ (Ge et al., CVPR'13): learn an orthogonal rotation ``R`` so the
     PQ subspace split loses less energy, by alternating (a) PQ
@@ -142,9 +146,9 @@ def opq_train(
         n = train_n
     x = jnp.asarray(x, jnp.float32)
     rng = np.random.default_rng(seed)
-    init = rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
-    if n < 256:
-        init = np.concatenate([init, np.zeros(256 - n, np.int32)])
+    init = rng.choice(n, size=min(nv, n), replace=False).astype(np.int32)
+    if n < nv:
+        init = np.concatenate([init, np.zeros(nv - n, np.int32)])
     init = jnp.asarray(init)
     rot = jnp.eye(d, dtype=jnp.float32)
     cb = None
@@ -186,3 +190,43 @@ def adc_score(lut: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
     idx = codes.astype(jnp.int32).transpose(0, 2, 1)  # [B, m_pq, C]
     got = jnp.take_along_axis(lut, idx, axis=2)  # [B, m_pq, C]
     return jnp.maximum(jnp.sum(got, axis=1), 0.0)
+
+
+def pack_nibbles(codes: jnp.ndarray) -> jnp.ndarray:
+    """4-bit codes u8[..., m] (values < 16, m even) -> u8[..., m // 2].
+    Subspace ``2j`` lives in byte ``j``'s LOW nibble, ``2j+1`` in its
+    high nibble (the layout :func:`unpack_nibbles`/:func:`adc_score16`
+    decode in-register)."""
+    lo = codes[..., 0::2].astype(jnp.uint8)
+    hi = codes[..., 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_nibbles(packed: jnp.ndarray) -> jnp.ndarray:
+    """u8[..., mb] -> u8[..., 2 * mb] 4-bit codes (pure bit ops)."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+def adc_score16(lut: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """GATHER-FREE ADC over 4-bit codes: ``lut`` f32[B, m, 16] (from
+    :func:`pq_lut` with 16-entry codebooks), ``packed`` u8[B, C, m // 2]
+    nibble-packed codes -> f32[B, C].
+
+    Why this exists: :func:`adc_score`'s ``take_along_axis`` lowers to
+    B*m*C per-ELEMENT gathers, and XLA gathers are issue-rate-bound
+    (~3 ns/row regardless of width — DEVNOTES) — at serving batch sizes
+    the LUT lookups dominate the whole PQ beam (553 QPS in round 3's
+    SERVING_MEMORY.json). With 16-entry codebooks the lookup becomes an
+    unrolled 16-step compare-select — pure VPU elementwise, zero gathers,
+    one fused loop nest (the TPU-native analogue of SIMD LUT16 /
+    4-bit-PQ ADC; beyond the reference's u8-per-dim ceiling,
+    vectors/src/quant.rs)."""
+    b, c, mb = packed.shape
+    codes = unpack_nibbles(packed)  # [B, C, m] u8, values < 16
+    g = jnp.zeros((b, c, 2 * mb), jnp.float32)
+    for v in range(16):
+        # lut[..., v]: [B, m] -> broadcast [B, 1, m] against codes
+        g = g + jnp.where(codes == jnp.uint8(v), lut[:, None, :, v], 0.0)
+    return jnp.maximum(jnp.sum(g, axis=-1), 0.0)

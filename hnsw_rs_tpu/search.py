@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.distance import l2sq
-from .ops.pq import adc_score, pq_lut
+from .ops.pq import adc_score, adc_score16, pq_lut
 from .ops.quant import dequantize
 from .ops.topk import (
     INF,
@@ -575,11 +575,15 @@ def search_layer_pq(
     n, w = packed.shape
     cap = w // (m_pq + 4)
     b = lut.shape[0]
+    # nv is static inside jit: 16-entry LUTs mean nibble-packed 4-bit
+    # codes scored gather-free (ops.pq.adc_score16); 256 is the classic
+    # 8-bit take_along_axis path
+    score = adc_score16 if lut.shape[2] == 16 else adc_score
 
     def fetch(cand_safe):  # [R] with R = b*e
         row = packed[cand_safe]  # the ONLY gather
         nbrs, codes = unpack_rows_pq(row, cap, m_pq)  # [R, cap(, m_pq)]
-        d2 = adc_score(lut, codes.reshape(b, -1, m_pq))  # [b, R/b*cap]
+        d2 = score(lut, codes.reshape(b, -1, m_pq))  # [b, R/b*cap]
         return nbrs, d2.reshape(*nbrs.shape)
 
     # q placeholder: a scored loop never computes l2sq, it only reads the
@@ -627,18 +631,21 @@ def ann_search_pq(
     qr = q if rot is None else jnp.dot(
         q, rot, preferred_element_type=jnp.float32
     )
-    lut = pq_lut(qr, codebooks)  # [B, m_pq, 256]
+    lut = pq_lut(qr, codebooks)  # [B, m_sub, nv]
     # seed SELECTION uses the exact pivot table (small, dense); seed
     # SCORES entering the beam are ADC so eviction decisions compare
     # like against like
     _, e_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
     safe = jnp.clip(jnp.where(e_ids == PAD_ID, 0, e_ids), 0,
                     pq_codes.shape[0] - 1)
-    e_d2 = adc_score(lut, pq_codes[safe])
+    score = adc_score16 if codebooks.shape[1] == 16 else adc_score
+    e_d2 = score(lut, pq_codes[safe])
     e_d2 = jnp.where(e_ids == PAD_ID, INF, e_d2)
-    m_pq = codebooks.shape[0]
+    # bytes per point in the packed rows: nibble-packed for 4-bit
+    # codebooks (ops.pq.pack_nibbles), one byte per subspace for 8-bit
+    pq_b = pq_codes.shape[1]
     beam_d2, beam_ids = search_layer_pq(
-        packed0, lut, m_pq, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+        packed0, lut, pq_b, e_d2, e_ids, ef, max_iters, expand_e=expand_e
     )
     r = min(max(k, rerank), beam_ids.shape[1])
     cand = beam_ids[:, :r]

@@ -81,6 +81,56 @@ def test_pq_serving_recall_gate():
     )
 
 
+def test_adc_score16_matches_naive_lookup():
+    """adc_score16 (unrolled compare-select, zero gathers) must equal a
+    naive per-element LUT lookup bit-for-bit up to f32 sum order: same
+    values as take_along_axis on the unpacked codes."""
+    from hnsw_rs_tpu.ops.pq import (
+        adc_score16, pack_nibbles, unpack_nibbles,
+    )
+
+    rng = np.random.default_rng(3)
+    b, c, m = 4, 37, 16
+    codes = rng.integers(0, 16, size=(b, c, m)).astype(np.uint8)
+    lut = rng.normal(size=(b, m, 16)).astype(np.float32) ** 2
+    packed = pack_nibbles(jnp.asarray(codes))
+    assert packed.shape == (b, c, m // 2)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_nibbles(packed)), codes
+    )
+    got = np.asarray(adc_score16(jnp.asarray(lut), packed))
+    want = np.maximum(
+        np.take_along_axis(
+            lut, codes.transpose(0, 2, 1).astype(np.int64), axis=2
+        ).sum(axis=1).transpose(0, 1),
+        0.0,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pq4_serving_recall_gate():
+    """pq_bits=4 (LUT16): same bytes/point as 8-bit pq_m, gather-free ADC.
+    Navigation quality may differ slightly; the exact full-beam rerank
+    must keep the end-to-end gate."""
+    index, ds = _index_and_data()
+    truth = brute_force_nns(
+        ds.test, index.points.codes, index.points.scales, K
+    )
+    index.finalize(pivots=512, pq_m=8, pq_bits=4)
+    cb, pq_codes, packed_pq, _rot = index._pq
+    assert cb.shape[1] == 16 and cb.shape[0] == 16  # 2*pq_m subspaces
+    assert pq_codes.shape[1] == 8  # still pq_m BYTES per point
+    d, ann = index.ann_batch(ds.test, K, ef=96)
+    recall = np.mean(
+        [len(set(a) & set(t)) / K for a, t in zip(ann.tolist(), truth.tolist())]
+    )
+    assert recall >= 0.95, f"PQ4-serving recall@{K} = {recall}"
+    # memory parity with the 8-bit mode's pack (same wrow)
+    w4 = packed_pq.shape[1]
+    index.finalize(pivots=512, pq_m=8)
+    assert index._pq[2].shape[1] == w4
+
+
 def test_pq_mode_cleared_and_validated():
     index, _ = _index_and_data()
     with pytest.raises(ValueError):
