@@ -95,6 +95,27 @@ def main() -> None:
         })
         print(json.dumps(out["rows"][-1]), flush=True)
 
+    # PQ-tier mode (round 4): device-resident PQ-packed rows + on-device
+    # ADC beam (zero per-iteration staging), ONE disk-paged exact rerank
+    # per batch — the redesign after the exact hot tier measured SLOWER
+    # than host-paged through this tunnel (round-3 rows above, kept for
+    # the record). pq_m=12 B/point at 4 bits: 24 subspaces over d=96.
+    for pq_m in (12, 24):
+        pq = HybridPagedHNSW(paged_dir, pivots=4096, pq_m=pq_m, pq_bits=4,
+                             cache_blocks=4096)
+        _, _ = pq.ann_batch(ds.test[:32], K, EF)  # warm compiles
+        t0 = time.time()
+        _, ids_pq = pq.ann_batch(ds.test, K, EF)
+        dt_pq = time.time() - t0
+        out["rows"].append({
+            "mode": f"hybrid-pq-tier-4bit-m{pq_m}",
+            "qps": round(len(ds.test) / dt_pq, 1),
+            "parity_vs_mem": round(parity(ids_pq), 4),
+            "device_bytes_per_point": round(pq.device_bytes / N, 1),
+            "exact_packed_bytes_per_point": wrow,
+        })
+        print(json.dumps(out["rows"][-1]), flush=True)
+
     with open(os.path.join(ROOT, "benchmarks", "PAGED_HYBRID.json"), "w") as f:
         json.dump(out, f, indent=2)
     print("wrote benchmarks/PAGED_HYBRID.json")

@@ -299,6 +299,9 @@ class HybridPagedHNSW(PagedHNSW):
         pivots: int = 8192,
         cache_blocks: int = 1024,
         prefetch: int = 0,
+        pq_m: int = 0,
+        pq_bits: int = 4,
+        pq_iters: int = 12,
     ):
         """``prefetch > 0`` enables speculative cold staging: each beam
         iteration also returns its ``prefetch`` next-best unexpanded
@@ -306,7 +309,20 @@ class HybridPagedHNSW(PagedHNSW):
         host row cache WHILE the device expands the popped ones — the
         next iteration's cold staging then starts from warm rows
         (overlaps disk IO + row assembly with device compute; results
-        are bit-identical, prefetch only warms caches)."""
+        are bit-identical, prefetch only warms caches).
+
+        ``pq_m > 0`` selects the PQ-TIER mode instead (DiskANN-style
+        split, TPU-native): the device holds PQ-packed layer-0 rows
+        (``cap * (pq_m + 4)`` B/point — ~9-13x smaller than exact packed
+        rows) + the pivot skeleton; the ENTIRE beam runs on-device with
+        gather-free ADC (``search.pq_beam`` / ``ops.pq.adc_score16`` at
+        the default ``pq_bits=4``), and exact vectors are paged from
+        disk ONCE per batch for the final rerank. This removes the
+        exact hot tier's per-iteration host<->device staging entirely
+        (the measured loss mode through a slow host link —
+        benchmarks/PAGED_HYBRID.json round 3); results are
+        approximate-beam + exact-rerank rather than bit-exact vs
+        in-memory, recall-parity gated by tests/benchmarks."""
         super().__init__(path, cache_blocks=cache_blocks)
         import jax.numpy as jnp
 
@@ -314,24 +330,29 @@ class HybridPagedHNSW(PagedHNSW):
         d = self.store.dim
         self._cap, self._d = cap, d
         self._wrow = cap * (d + 12)
-        h = int(min(self.n, max(1, hot_bytes // self._wrow)))
-
-        # hot set = top in-degree rows, one chunked pass over the memmap
-        indeg = np.zeros(self.n + 1, np.int64)
-        ch = 1 << 16
-        for lo in range(0, self.n, ch):
-            rows = np.asarray(self.adj0[lo : lo + ch])
-            v = rows[rows >= 0]
-            indeg[: self.n] += np.bincount(v, minlength=self.n)
-        hot_ids = np.argpartition(-indeg[: self.n], h - 1)[:h]
-        hot_ids.sort()
-        slot = np.full(self.n, -1, np.int32)
-        slot[hot_ids] = np.arange(h, dtype=np.int32)
-        self._slot_host = slot
-        self._hot_packed = jnp.asarray(self._packed_rows_host(hot_ids))
-        self.hot_rows = h
+        self.pq_m = int(pq_m)
         self.hits = 0  # hot-tier expansion counters (observability)
         self.misses = 0
+
+        if pq_m > 0:
+            self._build_pq_tier(pq_m, pq_bits, pq_iters)
+            self.hot_rows = 0
+        else:
+            h = int(min(self.n, max(1, hot_bytes // self._wrow)))
+            # hot set = top in-degree rows, one chunked memmap pass
+            indeg = np.zeros(self.n + 1, np.int64)
+            ch = 1 << 16
+            for lo in range(0, self.n, ch):
+                rows = np.asarray(self.adj0[lo : lo + ch])
+                v = rows[rows >= 0]
+                indeg[: self.n] += np.bincount(v, minlength=self.n)
+            hot_ids = np.argpartition(-indeg[: self.n], h - 1)[:h]
+            hot_ids.sort()
+            slot = np.full(self.n, -1, np.int32)
+            slot[hot_ids] = np.arange(h, dtype=np.int32)
+            self._slot_host = slot
+            self._hot_packed = jnp.asarray(self._packed_rows_host(hot_ids))
+            self.hot_rows = h
 
         # pivot skeleton: the saved index's finalize() seed set when
         # present (exactness vs in-memory requires the SAME seeds — the
@@ -375,6 +396,84 @@ class HybridPagedHNSW(PagedHNSW):
         self._row_lock = threading.Lock()
         self._pf_pool = None  # lazy ThreadPoolExecutor(1)
         self.prefetch_hits = 0
+
+    def _build_pq_tier(self, pq_m: int, pq_bits: int, pq_iters: int) -> None:
+        """Train PQ on a paged subsample, encode every stored point
+        (sequential block reads), and pack layer 0's neighbor (code, id)
+        rows on-device — the one-time cost of the staging-free serving
+        mode. Codes live in the same quantized space as the in-memory
+        index (``template.rs:313``)."""
+        import jax.numpy as jnp
+
+        from ..ops.pq import encode_pq, pack_nibbles, train_pq
+        from ..search import pack_layer_pq
+
+        if pq_bits not in (4, 8):
+            raise ValueError(f"pq_bits must be 4 or 8, got {pq_bits}")
+        m_sub = pq_m if pq_bits == 8 else 2 * pq_m
+        if self.store.dim % m_sub != 0:
+            raise ValueError(f"{m_sub} subspaces (pq_m {pq_m} at "
+                             f"{pq_bits} bits) must divide dim "
+                             f"{self.store.dim}")
+        n = self.n
+        ts = min(n, 65536)
+        pick = np.linspace(0, n - 1, ts).round().astype(np.int64)
+        cb = train_pq(
+            jnp.asarray(self._values(pick)), m_sub, iters=pq_iters,
+            seed=0, nv=1 << pq_bits,
+        )
+        ch = 1 << 16
+        parts = []
+        for lo in range(0, n, ch):
+            ids = np.arange(lo, min(lo + ch, n), dtype=np.int64)
+            parts.append(encode_pq(jnp.asarray(self._values(ids)), cb))
+        pq_codes = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if pq_bits == 4:
+            pq_codes = pack_nibbles(pq_codes)
+        self._pq_cb = cb
+        self._pq_codes = pq_codes
+        self._pq_packed = pack_layer_pq(
+            jnp.asarray(np.ascontiguousarray(self.adj0)), pq_codes
+        )
+        self.device_bytes = int(
+            self._pq_packed.size + pq_codes.size + cb.size * 4
+        )
+
+    def _ann_batch_pq(
+        self, q: np.ndarray, n: int, ef: int, max_iters: int,
+        expand_e: int, rerank: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """PQ-tier query: one on-device ADC beam dispatch (zero
+        per-iteration staging), then ONE disk-paged exact rerank of the
+        top ``rerank`` survivors per query (numpy — the host flops are
+        trivial next to the block reads)."""
+        import jax.numpy as jnp
+
+        from ..search import pq_beam
+
+        b = q.shape[0]
+        bp = 1 << max(6, (b - 1).bit_length())
+        qj = jnp.asarray(
+            np.concatenate([q, np.zeros((bp - b, q.shape[1]), np.float32)])
+            if bp != b else q
+        )
+        _, beam_ids = _paged_pq_jit(
+            self._pq_packed, self._pq_cb, self._pq_codes,
+            self._pivot_ids, self._pivot_vecs, qj,
+            ef=ef, max_iters=max_iters, expand_e=expand_e,
+        )
+        r = min(max(n, rerank or ef), int(beam_ids.shape[1]))
+        cand = np.asarray(beam_ids[:, :r])[:b]  # [b, r] (one small fetch)
+        safe = np.clip(np.where(cand == PAD_ID, 0, cand), 0, self.n - 1)
+        vec = self._values(safe.ravel()).reshape(b, r, -1)
+        diff = vec - q[:, None, :]
+        d2 = np.einsum("brd,brd->br", diff, diff, dtype=np.float32)
+        d2 = np.where(cand == PAD_ID, np.inf, d2)
+        order = np.lexsort((cand, d2), axis=-1)[:, :n]
+        return (
+            np.sqrt(np.take_along_axis(d2, order, 1)),
+            np.take_along_axis(cand, order, 1),
+        )
 
     def _prefetch_rows(self, ids: np.ndarray) -> None:
         """Worker-thread body: assemble packed rows for ``ids`` into the
@@ -441,6 +540,10 @@ class HybridPagedHNSW(PagedHNSW):
         ef = max(ef, n)
         if max_iters is None:
             max_iters = 2 * ef + 16
+        if self.pq_m:
+            return self._ann_batch_pq(
+                np.asarray(q), n, ef, max_iters, expand_e, 0
+            )
         b = int(q.shape[0])
         cap = self._cap
         e = max(1, min(int(expand_e), ef))
@@ -620,6 +723,22 @@ def _lazy_jits():
         return md2[:, :ef], mids[:, :ef], mexp[:, :ef], ring
 
     return pick, expand
+
+
+def _paged_pq_jit(*a, **k):
+    """Lazy-jitted ``search.pq_beam`` (the whole ADC beam is ONE device
+    program — the PQ tier's zero-staging property)."""
+    global _paged_pq_jit
+    import functools
+
+    import jax
+
+    from ..search import pq_beam
+
+    _paged_pq_jit = functools.partial(
+        jax.jit, static_argnames=("ef", "max_iters", "expand_e")
+    )(pq_beam)
+    return _paged_pq_jit(*a, **k)
 
 
 def _hyb_pick(*a, **k):

@@ -594,6 +594,44 @@ def search_layer_pq(
     )
 
 
+def pq_beam(
+    packed0: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    pq_codes: jnp.ndarray,
+    pivot_ids: jnp.ndarray,
+    pivot_vecs: jnp.ndarray,
+    q: jnp.ndarray,
+    ef: int,
+    max_iters: int,
+    expand_e: int = 1,
+    rot: "jnp.ndarray | None" = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pivot-seeded ADC beam over a PQ-packed layer 0 — the shared head
+    of :func:`ann_search_pq`, also used standalone by the paged hybrid
+    tier (``models/paged.py``), whose exact rerank pages vectors from
+    disk instead of an HBM code table. Returns the full (beam_d2,
+    beam_ids) — ADC-scored, callers rerank."""
+    qr = q if rot is None else jnp.dot(
+        q, rot, preferred_element_type=jnp.float32
+    )
+    lut = pq_lut(qr, codebooks)  # [B, m_sub, nv]
+    # seed SELECTION uses the exact pivot table (small, dense); seed
+    # SCORES entering the beam are ADC so eviction decisions compare
+    # like against like
+    _, e_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
+    safe = jnp.clip(jnp.where(e_ids == PAD_ID, 0, e_ids), 0,
+                    pq_codes.shape[0] - 1)
+    score = adc_score16 if codebooks.shape[1] == 16 else adc_score
+    e_d2 = score(lut, pq_codes[safe])
+    e_d2 = jnp.where(e_ids == PAD_ID, INF, e_d2)
+    # bytes per point in the packed rows: nibble-packed for 4-bit
+    # codebooks (ops.pq.pack_nibbles), one byte per subspace for 8-bit
+    pq_b = pq_codes.shape[1]
+    return search_layer_pq(
+        packed0, lut, pq_b, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+    )
+
+
 def ann_search_pq(
     packed0: jnp.ndarray,
     codebooks: jnp.ndarray,
@@ -628,24 +666,9 @@ def ann_search_pq(
     exact-code access on the whole path). No reference analogue
     (``vectors/src/quant.rs`` stops at 1 byte/dim); recall is gated by
     tests/test_pq_serving.py and benchmarks."""
-    qr = q if rot is None else jnp.dot(
-        q, rot, preferred_element_type=jnp.float32
-    )
-    lut = pq_lut(qr, codebooks)  # [B, m_sub, nv]
-    # seed SELECTION uses the exact pivot table (small, dense); seed
-    # SCORES entering the beam are ADC so eviction decisions compare
-    # like against like
-    _, e_ids = _pivot_seeds(pivot_ids, pivot_vecs, q, ef)
-    safe = jnp.clip(jnp.where(e_ids == PAD_ID, 0, e_ids), 0,
-                    pq_codes.shape[0] - 1)
-    score = adc_score16 if codebooks.shape[1] == 16 else adc_score
-    e_d2 = score(lut, pq_codes[safe])
-    e_d2 = jnp.where(e_ids == PAD_ID, INF, e_d2)
-    # bytes per point in the packed rows: nibble-packed for 4-bit
-    # codebooks (ops.pq.pack_nibbles), one byte per subspace for 8-bit
-    pq_b = pq_codes.shape[1]
-    beam_d2, beam_ids = search_layer_pq(
-        packed0, lut, pq_b, e_d2, e_ids, ef, max_iters, expand_e=expand_e
+    beam_d2, beam_ids = pq_beam(
+        packed0, codebooks, pq_codes, pivot_ids, pivot_vecs, q, ef,
+        max_iters, expand_e, rot,
     )
     r = min(max(k, rerank), beam_ids.shape[1])
     cand = beam_ids[:, :r]
@@ -703,8 +726,19 @@ def ann_search_seeded(
 
 
 def _pivot_seeds(pivot_ids, pivot_vecs, q, ef):
-    """Top-ef pivot seeds per query: one MXU matmul + approx top-k (see
-    :func:`ann_search_seeded` for rationale and numeric-form caveat)."""
+    """Top-ef pivot seeds per query: one MXU matmul + two-stage top-k.
+
+    Stage 1 is ``approx_max_k`` OVERSAMPLED 2x (the TPU-native bucketed
+    top-k — an order of magnitude cheaper than the exact sort at
+    [B, P]); stage 2 exactly sorts the 2*ef survivors ([B, 2ef] — cheap).
+    A true top-ef seed is then lost only if it falls outside the approx
+    top-2ef, which is far into approx_max_k's high-recall regime —
+    single-stage approx at recall_target=0.95 measurably dropped the
+    true-nearest seed for ~1 query in 20, and on heavy-tailed data a
+    tail query's ONE in-blob seed being dropped is a whole-query miss
+    (the round-3 recall asymptote's first cause). Seed selection stays
+    heuristic (ties/ULP order unspecified); results still come from the
+    exact (d2, id)-ordered beam."""
     d2p = (
         jnp.sum(q * q, 1, keepdims=True)
         - 2.0 * jnp.dot(q, pivot_vecs.T, preferred_element_type=jnp.float32,
@@ -712,8 +746,13 @@ def _pivot_seeds(pivot_ids, pivot_vecs, q, ef):
         + jnp.sum(pivot_vecs * pivot_vecs, 1)[None, :]
     )
     d2p = jnp.where(pivot_ids[None, :] >= 0, d2p, INF)
-    s = min(ef, pivot_ids.shape[0])
-    nv, pos = jax.lax.approx_max_k(-d2p, s, recall_target=0.95)
+    p = pivot_ids.shape[0]
+    s = min(ef, p)
+    s2 = min(2 * s, p)
+    nv, pos = jax.lax.approx_max_k(-d2p, s2, recall_target=0.95)
+    if s2 > s:  # exact refine of the oversampled pool
+        nv, sub = jax.lax.top_k(nv, s)
+        pos = jnp.take_along_axis(pos, sub, axis=1)
     e_ids = pivot_ids[pos]
     e_d2 = jnp.where(e_ids >= 0, jnp.maximum(-nv, 0.0), INF)
     e_ids = jnp.where(e_ids >= 0, e_ids, PAD_ID)

@@ -121,6 +121,49 @@ def test_hybrid_paged_matches_in_memory_seeded(tmp_path):
     np.testing.assert_allclose(d_t, d_mem, rtol=1e-5, atol=1e-5)
 
 
+def test_hybrid_pq_tier_recall_and_zero_staging(tmp_path):
+    # PQ-tier mode (pq_m>0): the whole beam runs on-device over PQ-packed
+    # rows (search.pq_beam), exact vectors are paged from disk once per
+    # batch for the rerank. Approximate beam + exact rerank: gate recall
+    # vs exact truth, and pin that NO per-iteration staging ran.
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.paged import HybridPagedHNSW, save_paged
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+
+    n, d, k = 900, 16, 10
+    vecs = gen_rand_vecs(n, d, seed=31)
+    queries = gen_rand_vecs(24, d, seed=32)
+    index = HNSW(8, ef_cons=32, dim=d)
+    index.insert_bulk(vecs)
+    index.finalize(pivots=4096)
+    path = str(tmp_path / "hyb_pq")
+    save_paged(index, path)
+
+    qc, qs = quantize(jnp.asarray(queries))
+    qdq = np.asarray(dequantize(qc, qs))
+    cdq = np.asarray(dequantize(jnp.asarray(index.points.codes[:n]),
+                                jnp.asarray(index.points.scales[:n])))
+    truth = np.argsort(
+        ((cdq[None, :, :] - qdq[:, None, :]) ** 2).sum(-1), axis=1
+    )[:, :k]
+
+    hyb = HybridPagedHNSW(path, pivots=4096, pq_m=4, pq_bits=4)
+    assert hyb.device_bytes < n * (d + 12) * index.graph.get_layer(0).shape[1]
+    d_pq, i_pq = hyb.ann_batch(queries, k, 48)
+    assert hyb.misses == 0 and hyb.hits == 0  # no hot/cold staging path
+    rec = np.mean([len(set(a) & set(t)) / k for a, t in zip(i_pq, truth)])
+    assert rec >= 0.9, f"pq-tier recall {rec}"
+    # distances are exact reranked ones
+    row = np.asarray(i_pq[0])
+    want = np.sqrt(((cdq[row] - qdq[0][None]) ** 2).sum(-1))
+    np.testing.assert_allclose(d_pq[0], want, rtol=1e-4, atol=1e-4)
+    # 8-bit path serves too
+    hyb8 = HybridPagedHNSW(path, pivots=4096, pq_m=8, pq_bits=8)
+    _, i8 = hyb8.ann_batch(queries, k, 48)
+    rec8 = np.mean([len(set(a) & set(t)) / k for a, t in zip(i8, truth)])
+    assert rec8 >= 0.9, f"pq8-tier recall {rec8}"
+
+
 def test_hybrid_expand_e_fewer_dispatches_equal_recall(tmp_path):
     # expand_e>1 pops E beam entries per device round-trip
     # (search._beam_loop body_e semantics): the discovered set is a

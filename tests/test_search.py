@@ -239,3 +239,39 @@ def test_pivot_seeded_serving_recall():
     # finalize() without pivots turns the seeded path back off
     index.finalize()
     assert index._pivots is None
+
+
+def test_pivot_seeds_exact_when_refine_covers_pool():
+    """Seed selection is a two-stage approx->exact top-k: whenever the
+    2*ef oversample covers the whole pivot pool, the ef seeds are
+    EXACTLY the (d2, position)-best pivots — including under adversarial
+    duplicate/tied pivot vectors (the round-3 single-stage approx_max_k
+    dropped the true nearest seed ~1 query in 20, a whole-query miss on
+    tail data)."""
+    from hnsw_rs_tpu.search import _pivot_seeds
+
+    rng = np.random.default_rng(5)
+    p, d, ef, b = 64, 8, 32, 16
+    vecs = rng.random((p, d), np.float32)
+    # adversarial: half the pool are duplicates of the first rows (ties)
+    vecs[p // 2:] = vecs[: p // 2]
+    ids = np.arange(p, dtype=np.int32)
+    q = rng.random((b, d), np.float32)
+    e_d2, e_ids = _pivot_seeds(
+        jnp.asarray(ids), jnp.asarray(vecs), jnp.asarray(q), ef
+    )
+    e_ids = np.asarray(e_ids)
+    d2m = ((q[:, None, :] - vecs[None]) ** 2).sum(-1)
+    for i in range(b):
+        want = set(np.argsort(d2m[i], kind="stable")[:ef].tolist())
+        got = set(e_ids[i].tolist())
+        # tie groups may resolve to either duplicate id; compare by
+        # DISTANCE multiset instead of id where tied
+        wd = np.sort(d2m[i][np.argsort(d2m[i])[:ef]])
+        gd = np.sort(d2m[i][e_ids[i]])
+        np.testing.assert_allclose(gd, wd, rtol=1e-5, atol=1e-6)
+        # and the unique true nearest (if untied) must be present
+        top = np.argsort(d2m[i], kind="stable")[0]
+        tied = np.flatnonzero(np.abs(d2m[i] - d2m[i][top]) < 1e-9)
+        assert set(tied.tolist()) & got, (i, top, tied)
+        del want
