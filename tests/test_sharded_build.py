@@ -174,3 +174,32 @@ def test_concurrent_cluster_build():
     # self-queries resolve to their own global id
     _, ids3 = idx.ann_batch(vecs[:64], 1, 40)
     assert np.mean(ids3[:, 0] == np.arange(64)) > 0.95
+
+
+def test_concurrent_cluster_build_recall_at_scale():
+    """VERDICT r3 #3: the shard-concurrent cluster build gated against a
+    flat exact oracle at >=10k points (the small-N tests can hide
+    cluster-granularity pathologies — the round-3 megacluster bug was
+    invisible below ~1k). 8 shards, clustered data, seeded serving (the
+    production mode for cluster-built graphs). ~40 s on the virtual mesh
+    warm; the module's persistent compile cache amortizes the cold run."""
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
+
+    n, d, k = 12288, 24, 10
+    ds = synthetic_clustered(n, d, n_queries=64, seed=13)
+    flat = FlatIndex(d)
+    flat.add(ds.train)
+    _, truth = flat.search(ds.test, k, exact=True)
+
+    idx = ShardedHNSW(12, d, n_shards=8, mesh=make_mesh(1, 8))
+    idx.insert_bulk(
+        ds.train, cluster_build=True,
+        cluster_kwargs=dict(points_per_cluster=64, fanout=4, pool_p=96,
+                            select_alg4=False, merge_slots=24),
+    )
+    assert len(idx) == n
+    idx.finalize(pivots=n // 24)
+    _, ids = idx.ann_batch(ds.test, k, 64)
+    r = recall(ids, truth)
+    assert r >= 0.95, f"sharded cluster recall at {n}: {r}"
+    assert np.all((ids >= 0) & (ids < n))
