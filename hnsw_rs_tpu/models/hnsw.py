@@ -430,6 +430,41 @@ class HNSW:
             )
         return np.asarray(d)[:b], np.asarray(i)[:b]
 
+    def refine(
+        self,
+        rounds: int = 1,
+        layer: int = 0,
+        hop_w: int = 8,
+        pool_p: int = 192,
+        use_alg4: bool = True,
+        batch: int = 1024,
+    ) -> "HNSW":
+        """Synchronous NN-descent refinement of a built layer
+        (``refine.refine_layer``): every node re-selects its out-row from
+        its 2-hop neighborhood via the Algorithm-4 accept chain. Lifts
+        graph quality on regimes whose blob granularity fights the
+        cluster builder's k-means pools (the measured heavy-tailed
+        plateau); a few seconds of batched gathers + MXU matvecs per
+        round at 1M. Invalidates packed/PQ serving layouts for the
+        refined layer (re-run :meth:`finalize`); the pivot seed set
+        remains valid (it is a property of the points, not the edges).
+        Returns self."""
+        from ..refine import refine_layer
+
+        self.flush()
+        if len(self) == 0:
+            return self
+        refine_layer(
+            self.graph, self.points, layer_nb=layer, rounds=rounds,
+            hop_w=hop_w, pool_p=pool_p, use_alg4=use_alg4, batch=batch,
+        )
+        if layer == 0:
+            self._packed0 = None
+            self._packed_n = -1
+            self._pq = None
+            self._pq_n = -1
+        return self
+
     def finalize(
         self,
         expand: int = 1,
