@@ -31,6 +31,7 @@ from ..search import (
     ann_search_pq,
     ann_search_seeded,
     ann_search_seeded_plain,
+    ann_search_seeded_probe,
     pack_layer,
     pack_layer_pq,
 )
@@ -72,6 +73,19 @@ def _ann_seeded_jit(
 ):
     return ann_search_seeded(
         packed0, pivot_ids, pivot_vecs, q, ef, k, max_iters, expand_e
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ef", "k", "max_iters", "probes", "expand_e")
+)
+def _ann_seeded_probe_jit(
+    packed0, pivot_ids, pivot_vecs, shortlist, codes, scales, q,
+    ef, k, max_iters, probes, expand_e=1,
+):
+    return ann_search_seeded_probe(
+        packed0, pivot_ids, pivot_vecs, shortlist, codes, scales, q,
+        ef, k, max_iters, probes, expand_e,
     )
 
 
@@ -141,6 +155,11 @@ class HNSW:
         # the upper-layer skeleton replaces greedy descent at query time
         self._pivots = None
         self._pivots_n = -1
+        # per-pivot shortlists (finalize(pivot_shortlist=T)): probed
+        # regions' local top-T enter the beam exactly scored at iter 0
+        # (search.ann_search_seeded_probe); serve_probes = pivots probed
+        self._pivot_shortlist = None
+        self.serve_probes = 16
         # cluster-build serving pivots: one representative per k-means
         # cluster (set by insert_bulk(cluster_build=True); finalize seeds
         # from these first — every region covered by construction)
@@ -403,6 +422,13 @@ class HNSW:
                 self.points.codes, self.points.scales, q, ef, n, max_iters,
                 rr, self.serve_expand, rot,
             )
+        elif pack_fresh and piv_fresh and self._pivot_shortlist is not None:
+            d, i = _ann_seeded_probe_jit(
+                self._packed0, self._pivots[0], self._pivots[1],
+                self._pivot_shortlist, self.points.codes,
+                self.points.scales, q, ef, n, max_iters,
+                self.serve_probes, self.serve_expand,
+            )
         elif pack_fresh and piv_fresh:
             d, i = _ann_seeded_jit(
                 self._packed0, self._pivots[0], self._pivots[1],
@@ -477,6 +503,7 @@ class HNSW:
         pq_bits: int = 8,
         pivot_fill: str = "cover",
         pivot_cover: float = 0.25,
+        pivot_shortlist: int = 0,
     ) -> "HNSW":
         """Build the packed-neighbor serving layout for layer 0.
 
@@ -512,6 +539,16 @@ class HNSW:
         ``pivot_fill="stride"`` = structural picks to the full budget,
         then evenly-strided ids (the density-proportional round-2
         behavior; ``pivot_cover`` is ignored).
+
+        ``pivot_shortlist=T`` (with ``pivots`` > 0) additionally builds
+        each pivot's top-``T`` nearest-points shortlist (one tiled flat
+        search) and switches serving to the PROBED mode
+        (``search.ann_search_seeded_probe``): the ``serve_probes``
+        nearest pivots' shortlist members enter the beam exactly scored
+        at iteration 0. This is the fix for walk-limited regimes where
+        recall was a function of ``max_iters`` alone (heavy-tailed 1M,
+        DEVNOTES round-4): beam MEMBERSHIP, not expansion, is what
+        recall@k needs.
 
         ``pq_m`` > 0 (requires ``pivots`` > 0) enables the PQ-coded
         serving mode instead: a product quantizer with ``pq_m``
@@ -711,9 +748,35 @@ class HNSW:
             vecs = dequantize(self.points.codes[ids], self.points.scales[ids])
             self._pivots = (ids, vecs)
             self._pivots_n = len(self)
+            if pivot_shortlist > 0:
+                # per-pivot shortlists (ann_search_seeded_probe): each
+                # pivot's T nearest stored points via ONE tiled flat
+                # search (pure MXU + streaming top-k — [P, N] never
+                # materializes). Measured motivation: on heavy-tailed 1M
+                # the beam's recall was a function of max_iters alone
+                # (misses were never-walked-to candidates); probing puts
+                # every nearby region's local top-T IN the beam at
+                # iteration 0 with exact scores.
+                import functools as _ft
+
+                from .flat import _flat_search_tiled
+                from ..ops.distance import point_normsq
+
+                t = int(pivot_shortlist)
+                n = len(self)
+                normsq = point_normsq(self.points.codes[:n],
+                                      self.points.scales[:n])
+                _, sl = jax.jit(_ft.partial(_flat_search_tiled, k=t))(
+                    vecs, self.points.codes[:n], self.points.scales[:n],
+                    normsq,
+                )
+                self._pivot_shortlist = sl.astype(jnp.int32)
+            else:
+                self._pivot_shortlist = None
         elif pivots == 0:
             self._pivots = None
             self._pivots_n = -1
+            self._pivot_shortlist = None
         return self
 
     def _serving_table(self) -> "jnp.ndarray":

@@ -725,8 +725,75 @@ def ann_search_seeded(
     return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
 
 
+def ann_search_seeded_probe(
+    packed0: jnp.ndarray,
+    pivot_ids: jnp.ndarray,
+    pivot_vecs: jnp.ndarray,
+    shortlist: jnp.ndarray,
+    codes: jnp.ndarray,
+    scales: jnp.ndarray,
+    q: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+    probes: int,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pivot-seeded serving with SHORTLIST PROBING — the IVF-flavored
+    seed stage for regimes where beam WALKS can't reach every true
+    neighbor in bounded iterations (measured on heavy-tailed 1M: recall
+    was a function of max_iters alone — ef 256 vs 2048 identical — i.e.
+    misses were candidates the beam never walked to, sitting behind a
+    shell of closer-but-useless dense-region expansions).
+
+    ``shortlist`` i32[P, T]: each pivot's T nearest stored points
+    (built once by ``finalize(pivot_shortlist=T)`` as one tiled flat
+    search — pure MXU). At query time the ``probes`` nearest pivots'
+    shortlist members are scored EXACTLY (one narrow row gather + fused
+    dequant-l2sq, chunked) and merged into the seed set: a true NN in
+    any probed region's shortlist is IN the beam from iteration 0 with
+    its exact distance — recall@k needs beam MEMBERSHIP, not expansion.
+    Sparse regions (where walks fail) have geometrically WIDE
+    shortlists, dense regions are covered by the graph — complementary
+    by construction. Beyond the reference (its serving is the serial
+    per-query descent, ``hnsw/src/searcher.rs``); same exact
+    (d2, id)-ordered beam afterwards."""
+    b = q.shape[0]
+    e_d2, e_ids, pos = _pivot_seeds_pos(pivot_ids, pivot_vecs, q, ef)
+    s = min(probes, pos.shape[1])
+    cand = shortlist[pos[:, :s]].reshape(b, -1)  # [B, S]; -1 pads
+    safe = jnp.clip(jnp.where(cand >= 0, cand, 0), 0, codes.shape[0] - 1)
+    # chunked exact scoring: bounds the [B, ch, d] dequantized temp
+    ch = min(64, safe.shape[1])
+    parts = []
+    for i in range(0, safe.shape[1], ch):
+        c = safe[:, i : i + ch]
+        vec = dequantize(codes[c], scales[c])  # [B, ch, d]
+        parts.append(l2sq(q[:, None, :], vec))
+    d2s = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    d2s = jnp.where(cand >= 0, d2s, INF)
+    ids = jnp.where(cand >= 0, cand, PAD_ID)
+    md2 = jnp.concatenate([e_d2, d2s], axis=1)
+    mids = jnp.concatenate([e_ids, ids], axis=1)
+    md2, mids = dedup_ids(md2, mids)
+    md2, mids = sort_dist_id(md2, mids)
+    beam_d2, beam_ids = search_layer_packed(
+        packed0, q, md2[:, :ef], mids[:, :ef], ef, max_iters,
+        expand_e=expand_e,
+    )
+    return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
+
+
 def _pivot_seeds(pivot_ids, pivot_vecs, q, ef):
+    """Top-ef pivot seeds per query (see :func:`_pivot_seeds_pos`)."""
+    e_d2, e_ids, _ = _pivot_seeds_pos(pivot_ids, pivot_vecs, q, ef)
+    return e_d2, e_ids
+
+
+def _pivot_seeds_pos(pivot_ids, pivot_vecs, q, ef):
     """Top-ef pivot seeds per query: one MXU matmul + two-stage top-k.
+    Returns (d2, ids, POSITIONS into the pivot table — the shortlist
+    probe rows).
 
     Stage 1 is ``approx_max_k`` OVERSAMPLED 2x (the TPU-native bucketed
     top-k — an order of magnitude cheaper than the exact sort at
@@ -756,7 +823,7 @@ def _pivot_seeds(pivot_ids, pivot_vecs, q, ef):
     e_ids = pivot_ids[pos]
     e_d2 = jnp.where(e_ids >= 0, jnp.maximum(-nv, 0.0), INF)
     e_ids = jnp.where(e_ids >= 0, e_ids, PAD_ID)
-    return e_d2, e_ids
+    return e_d2, e_ids, pos
 
 
 def ann_search_seeded_plain(

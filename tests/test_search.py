@@ -275,3 +275,48 @@ def test_pivot_seeds_exact_when_refine_covers_pool():
         tied = np.flatnonzero(np.abs(d2m[i] - d2m[i][top]) < 1e-9)
         assert set(tied.tolist()) & got, (i, top, tied)
         del want
+
+
+def test_probed_shortlist_serving():
+    """finalize(pivot_shortlist=T): probed serving injects each probed
+    pivot's local top-T into the beam exactly scored — recall at fixed
+    (ef, max_iters) must not drop vs plain seeded serving, and returned
+    ids/distances stay exact-form (sqrt of true quantized-space d2)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+    from hnsw_rs_tpu.utils import brute_force_nns
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
+
+    n, d, k = 3000, 24, 10
+    ds = synthetic_clustered(n, d, n_queries=48, seed=21)
+    idx = HNSW(10, dim=d)
+    idx.insert_bulk(ds.train)
+    truth = brute_force_nns(ds.test, idx.points.codes, idx.points.scales, k)
+
+    idx.finalize(pivots=256)
+    _, a0 = idx.ann_batch(ds.test, k, 24, max_iters=12)
+    r0 = np.mean([len(set(a) & set(t)) / k
+                  for a, t in zip(a0.tolist(), truth.tolist())])
+
+    idx.finalize(pivots=256, pivot_shortlist=8)
+    assert idx._pivot_shortlist.shape == (256, 8)
+    d1, a1 = idx.ann_batch(ds.test, k, 24, max_iters=12)
+    r1 = np.mean([len(set(a) & set(t)) / k
+                  for a, t in zip(a1.tolist(), truth.tolist())])
+    assert r1 >= r0 - 0.01, (r1, r0)
+
+    # distances are true quantized-space distances for the returned ids
+    qq = np.asarray(dequantize(*quantize(jnp.asarray(ds.test))))
+    x0 = np.asarray(dequantize(idx.points.codes[a1[0]],
+                               idx.points.scales[a1[0]]))
+    np.testing.assert_allclose(
+        d1[0], np.sqrt(((qq[0][None] - x0) ** 2).sum(-1)),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # finalize without the flag clears the probed mode
+    idx.finalize(pivots=256)
+    assert idx._pivot_shortlist is None
