@@ -28,7 +28,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from hnsw_rs_tpu import HNSW  # noqa: E402
 from hnsw_rs_tpu.models.flat import _flat_search_tiled  # noqa: E402
-from hnsw_rs_tpu.models.hnsw import _ann_seeded_jit  # noqa: E402
+from hnsw_rs_tpu.models.hnsw import (  # noqa: E402
+    _ann_seeded_jit,
+    _ann_seeded_probe_jit,
+)
 from hnsw_rs_tpu.ops.distance import point_normsq  # noqa: E402
 from hnsw_rs_tpu.ops.quant import dequantize, quantize  # noqa: E402
 from hnsw_rs_tpu.utils.datasets import synthetic_clustered  # noqa: E402
@@ -66,6 +69,14 @@ p.add_argument("--regime", default="clustered",
 p.add_argument("--cover", type=float, default=0.25,
                help="finalize pivot_cover (k-center fill share)")
 p.add_argument("--nq", type=int, default=256)
+p.add_argument("--shortlist", type=int, default=0,
+               help="finalize pivot_shortlist=T: probed serving ladder "
+                    "(per-pivot top-T lists enter the beam at iter 0)")
+p.add_argument("--probes", type=int, default=16,
+               help="pivots probed per query in the shortlist mode")
+p.add_argument("--refine", type=int, default=0,
+               help="HNSW.refine(rounds=R) NN-descent passes on layer 0 "
+                    "before finalize")
 p.add_argument("--tag", default="")
 a = p.parse_args()
 
@@ -104,6 +115,8 @@ tag = a.tag or (
     + (f" ki={a.kmeans_iters}" if a.kmeans_iters != 4 else "")
     + (f" slots={a.merge_slots}" if a.merge_slots else "")
     + (" noalg4" if a.no_select_alg4 else "")
+    + (f" sl={a.shortlist}x{a.probes}" if a.shortlist else "")
+    + (f" ref={a.refine}" if a.refine else "")
     + (f" packed:{a.packed}/lag{a.lag}" if a.packed != "off" else "")
     + (" wsort" if a.wave_sort else "")
     + (f" wcap={a.wave_cap}" if a.wave_cap != 4096 else "")
@@ -131,14 +144,31 @@ _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
     qq, idx.points.codes, idx.points.scales, normsq
 )
 truth = [set(t) for t in np.asarray(ti)[:, :K]]
-idx.finalize(pivots=a.pivots, pivot_cover=a.cover)
+if a.refine:
+    t0 = time.time()
+    idx.refine(rounds=a.refine)
+    for adj in idx.graph.adjs:
+        int(jnp.sum(jnp.abs(adj) % 7))
+    print(f"[{tag}] refine x{a.refine}: {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+idx.finalize(pivots=a.pivots, pivot_cover=a.cover,
+             pivot_shortlist=a.shortlist)
+int(jnp.sum(idx._pivots[0]))
+print(f"[{tag}] finalize: {time.time()-t0:.1f}s", flush=True)
 ladder = ((16, 8), (24, 12), (40, 24), (48, 32), (64, 56), (96, 80))
 if a.regime == "heavy-tailed":  # this regime's gate sits much deeper
     ladder += ((128, 112), (192, 200), (256, 280), (384, 500), (512, 700))
 for ef, mi_q in ladder:
-    _, ann = _ann_seeded_jit(
-        idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
-    )
+    if a.shortlist:
+        _, ann = _ann_seeded_probe_jit(
+            idx._packed0, idx._pivots[0], idx._pivots[1],
+            idx._pivot_shortlist, idx.points.codes, idx.points.scales,
+            qq, ef, K, mi_q, a.probes, 1,
+        )
+    else:
+        _, ann = _ann_seeded_jit(
+            idx._packed0, idx._pivots[0], idx._pivots[1], qq, ef, K, mi_q, 1
+        )
     rec = float(
         np.mean([len(set(x) & t) / K for x, t in zip(np.asarray(ann), truth)])
     )
