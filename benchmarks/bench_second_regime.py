@@ -1,9 +1,28 @@
-"""Second committed 1M serving regime (round-3 hardening): the headline
-QPS@recall>=0.99 measured on synthetic-HEAVY-TAILED data (Zipf cluster
-sizes, per-cluster scale spread, 20% tail queries) so the number is not
-single-distribution. Same config as bench.py (M=24, efc=128, pivot-seeded
-serving). Writes benchmarks/SERVING_REGIMES.json.
+"""Second committed 1M serving regime (round-3 hardening, round-4
+first-class): QPS at recall@10 >= 0.99 on synthetic-HEAVY-TAILED data
+(Zipf cluster sizes, per-cluster scale spread, 20% tail queries) so the
+headline number is not single-distribution. Measures BOTH serving modes
+on the same build:
 
+  packed+pivots         — pivot-seeded beam (bench.py's headline mode)
+  packed+pivots+probed  — + per-pivot top-T shortlists entering the beam
+                          at iteration 0 (finalize(pivot_shortlist=T)):
+                          the round-4 fix for this regime's measured
+                          pathology (recall was a function of max_iters
+                          alone — misses are candidates the beam never
+                          WALKS to behind a shell of closer dense
+                          expansions; probing makes them beam members
+                          instead of walk targets)
+
+Build config = bench.py's headline cluster build (the config sweep
+generalizes: measured 49.7k vec/s on this regime, round 4). The build
+rate is quoted as the RANGE of all fresh-build runs recorded in the
+meta file (tunnel throughput swings ~2x between sessions — DEVNOTES).
+
+GATE: exits 1 if no mode clears recall >= 0.99 (--no-gate to disable),
+so a quality regression on this regime fails loudly in CI-style runs.
+
+Writes benchmarks/SERVING_REGIMES.json (one row per mode).
 Run on the real TPU: python benchmarks/bench_second_regime.py [--quick]
 """
 
@@ -16,6 +35,10 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 32, 16
+CLUSTER_KWARGS = {"pool_p": 96, "points_per_cluster": 96, "fanout": 5,
+                  "select_alg4": False, "merge_slots": 48}
+
 
 def main() -> None:
     import jax
@@ -27,45 +50,51 @@ def main() -> None:
 
     from hnsw_rs_tpu import HNSW
     from hnsw_rs_tpu.models.flat import _flat_search_tiled
-    from hnsw_rs_tpu.models.hnsw import _ann_seeded_jit
+    from hnsw_rs_tpu.models.hnsw import _ann_seeded_jit, _ann_seeded_probe_jit
     from hnsw_rs_tpu.ops.distance import point_normsq
     from hnsw_rs_tpu.ops.quant import dequantize, quantize
     from hnsw_rs_tpu.utils.datasets import synthetic_heavy_tailed
 
     N = 100_000 if "--quick" in sys.argv else int(os.environ.get("HNSW_BENCH_N", "1000000"))
-    # PIVOTS=32768 with pivot_cover=0.5: the measured coverage point for
-    # this regime's ~16k natural blobs — k-center fill must reach every
-    # blob (diag_heavy_tailed.py: whole-query misses 110 -> 0, failure
-    # seed/trueNN ratio 3.06 -> 1.06). Pivot memory is still tiny
-    # (32k * 96 * 4 B = 12.6 MB vs the ~5 GB packed table).
-    D, K, M, EF_CONS, NQ, PIVOTS = 96, 10, 24, 128, 1024, 32768
-    COVER = 0.5
+    # NQ: the timed batch is 32,768 UNIQUE queries (duplicate-tiled
+    # batches share beam paths and flatter QPS); recall is gated on the
+    # first NQ_RECALL against exact ground truth.
+    D, K, M, EF_CONS, NQ, NQ_RECALL = 96, 10, 24, 128, 32768, 1024
     cache = os.path.join(ROOT, ".bench_cache")
-    tag = f"ht_n{N}_d{D}_m{M}_efc{EF_CONS}"
+    # r4 tag: keyed by build config so the round-3 cached index (pp=256,
+    # alg4) cannot silently serve this round's numbers
+    tag = f"ht2_n{N}_d{D}_m{M}_efc{EF_CONS}"
     idx_dir = os.path.join(cache, f"idx_{tag}")
-    gt_path = os.path.join(cache, f"gt_{tag}.npz")
+    gt_path = os.path.join(cache, f"gt_ht_n{N}_d{D}_q{NQ_RECALL}.npz")
+    meta_path = os.path.join(cache, f"meta_{tag}.json")
     os.makedirs(cache, exist_ok=True)
 
     ds = synthetic_heavy_tailed(N, D, n_queries=NQ, seed=42)
 
-    if os.path.isdir(idx_dir):
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if os.path.isdir(idx_dir) and meta.get("build_vps_runs"):
         index = HNSW.load(idx_dir)
-        build_rate = None
     else:
         t0 = time.time()
         index = HNSW(M, ef_cons=EF_CONS, dim=D)
         index.insert_bulk(ds.train, cluster_build=True,
-                          cluster_kwargs={"pool_p": 256,
-                                          "points_per_cluster": 96})
+                          cluster_kwargs=CLUSTER_KWARGS)
         for a in index.graph.adjs:
             int(jnp.sum(jnp.abs(a) % 7))
-        build_rate = N / (time.time() - t0)
+        rate = N / (time.time() - t0)
+        meta.setdefault("build_vps_runs", []).append(round(rate, 1))
         index.save(idx_dir)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    runs = meta["build_vps_runs"]
 
     if os.path.exists(gt_path):
         truth = np.load(gt_path)["ids"]
     else:
-        qq = dequantize(*quantize(jnp.asarray(ds.test)))
+        qq = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
         normsq = point_normsq(index.points.codes, index.points.scales)
         _, ti = jax.jit(functools.partial(_flat_search_tiled, k=K))(
             qq, index.points.codes, index.points.scales, normsq
@@ -74,65 +103,89 @@ def main() -> None:
         np.savez_compressed(gt_path, ids=truth)
     truth_sets = [set(t) for t in truth]
 
-    index.finalize(pivots=PIVOTS, pivot_cover=COVER)
+    index.finalize(pivots=PIVOTS, pivot_cover=COVER,
+                   pivot_shortlist=SHORTLIST)
     packed0 = index._packed0
     pivot_ids, pivot_vecs = index._pivots
-    q1k = dequantize(*quantize(jnp.asarray(ds.test)))
+    shortlist = index._pivot_shortlist
+    codes, scales = index.points.codes, index.points.scales
+    q1k = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
+    qbig = dequantize(*quantize(jnp.asarray(ds.test)))
 
-    cands = [(40, 24), (48, 28), (48, 32), (64, 40), (64, 56), (96, 80),
-             (128, 112), (192, 200), (256, 280), (384, 500), (512, 700),
-             (768, 1100)]
-    chosen = None
-    for ef, mi in cands:
-        _, ann = _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q1k, ef, K, mi, 1)
-        rec = float(np.mean([
-            len(set(a) & t) / K for a, t in zip(np.asarray(ann), truth_sets)
-        ]))
-        print(f"ef={ef} mi={mi} recall={rec:.4f}", flush=True)
-        if rec >= 0.99:
+    def seeded(q, ef, mi):
+        return _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q, ef, K, mi)
+
+    def probed(q, ef, mi):
+        return _ann_seeded_probe_jit(
+            packed0, pivot_ids, pivot_vecs, shortlist, codes, scales,
+            q, ef, K, mi, PROBES,
+        )
+
+    cands = [(40, 24), (48, 32), (64, 40), (64, 56), (96, 80), (128, 112),
+             (192, 200), (256, 280), (384, 500), (512, 700)]
+
+    rows_new = []
+    for mode, fn in (("packed+pivots+probed", probed),
+                     ("packed+pivots", seeded)):
+        chosen = None
+        for ef, mi in cands:
+            _, ann = fn(q1k, ef, mi)
+            rec = float(np.mean([
+                len(set(a) & t) / K
+                for a, t in zip(np.asarray(ann), truth_sets)
+            ]))
+            print(f"{mode} ef={ef} mi={mi} recall={rec:.4f}", flush=True)
+            if rec >= 0.99:
+                chosen = (ef, mi, rec)
+                break
+        gate_met = chosen is not None
+        if not gate_met:
             chosen = (ef, mi, rec)
-            break
-    gate_met = chosen is not None
-    if not gate_met:
-        chosen = (ef, mi, rec)
-    ef, mi, rec = chosen
+        ef, mi, rec = chosen
 
-    @functools.partial(jax.jit, static_argnames=("ef", "k", "mi"))
-    def search_sum(packed0, pivot_ids, pivot_vecs, q, ef, k, mi):
-        d, i = _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q, ef, k, mi)
-        return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
+        @functools.partial(jax.jit, static_argnames=("ef", "mi"))
+        def search_sum(q, ef, mi):
+            d, i = fn(q, ef, mi)
+            return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
-    batch = 32768
-    big = np.tile(ds.test, (-(-batch // NQ), 1))[:batch]
-    q = dequantize(*quantize(jnp.asarray(big)))
-    int(search_sum(packed0, pivot_ids, pivot_vecs, q, ef, K, mi))
-    t0 = time.time()
-    iters = 0
-    while time.time() - t0 < 5.0 or iters < 3:
-        int(search_sum(packed0, pivot_ids, pivot_vecs, q, ef, K, mi))
-        iters += 1
-    qps = batch * iters / (time.time() - t0)
+        int(search_sum(qbig, ef, mi))
+        t0 = time.time()
+        iters = 0
+        while time.time() - t0 < 5.0 or iters < 3:
+            int(search_sum(qbig, ef, mi))
+            iters += 1
+        qps = NQ * iters / (time.time() - t0)
+        rows_new.append({
+            "regime": "heavy-tailed",
+            "n": N, "d": D, "m": M, "ef_cons": EF_CONS,
+            "mode": mode, "pivots": int(pivot_ids.shape[0]),
+            "pivot_cover": COVER,
+            "shortlist": SHORTLIST if mode.endswith("probed") else 0,
+            "probes": PROBES if mode.endswith("probed") else 0,
+            "ef": ef, "max_iters": mi,
+            "recall": round(rec, 4), "gate_met": gate_met,
+            "qps": round(qps, 1),
+            "build_vps_range": [min(runs), max(runs)],
+            "build_runs": len(runs),
+        })
+        print(json.dumps(rows_new[-1]), flush=True)
 
     out_path = os.path.join(ROOT, "benchmarks", "SERVING_REGIMES.json")
     rows = []
     if os.path.exists(out_path):
         with open(out_path) as f:
             rows = json.load(f).get("rows", [])
-    if build_rate is None:  # cached index: keep the measured build rate
-        prev = [r for r in rows if r.get("regime") == "heavy-tailed"]
-        build_rate = prev[-1].get("build_vps") if prev else None
-    rows = [r for r in rows if r.get("regime") != "heavy-tailed"] + [{
-        "regime": "heavy-tailed",
-        "n": N, "d": D, "m": M, "ef_cons": EF_CONS,
-        "mode": "packed+pivots", "pivots": int(pivot_ids.shape[0]),
-        "ef": ef, "max_iters": mi,
-        "recall": round(rec, 4), "gate_met": gate_met,
-        "qps": round(qps, 1),
-        "build_vps": round(build_rate, 1) if build_rate else None,
-    }]
+    rows = [r for r in rows if r.get("regime") != "heavy-tailed"] + rows_new
     with open(out_path, "w") as f:
         json.dump({"rows": rows}, f, indent=2)
-    print(json.dumps(rows[-1]))
+    print(f"wrote {out_path}")
+
+    if "--no-gate" not in sys.argv and not any(
+        r["gate_met"] for r in rows_new
+    ):
+        print("GATE FAILED: no serving mode reached recall@10 >= 0.99 "
+              "on the heavy-tailed regime", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -236,15 +236,19 @@ def main() -> None:
         index._f32_n = -1
         index._packed0 = None
         index._packed_n = -1
-    for pq_m in (24, 48):
-        index.finalize(pivots=PIVOTS, pq_m=pq_m)
+    # (pq_m, pq_bits): 8-bit rows are the round-3 gather-ADC points;
+    # the 4-bit rows keep the same bytes/point but score via the
+    # gather-free LUT16 compare-select ADC (ops.pq.adc_score16) — the
+    # round-4 throughput fix for the 553-QPS LUT-gather wall
+    for pq_m, pq_bits in ((24, 8), (48, 8), (24, 4), (48, 4)):
+        index.finalize(pivots=PIVOTS, pq_m=pq_m, pq_bits=pq_bits)
         cb, pq_codes, packed_pq, _rot = index._pq
         pivot_ids, pivot_vecs = index._pivots
         b_piv = int(pivot_ids.size * 4 + pivot_vecs.size * 4)
         b_pq = int(packed_pq.size + pq_codes.size + cb.size * 4)
         rows.append(
             measure(
-                f"pq{pq_m}+piv",
+                f"pq{pq_m}" + ("x4b" if pq_bits == 4 else "") + "+piv",
                 # rerank = full beam (the library default since the ADC
                 # anatomy finding: ADC ordering inside a neighborhood is
                 # near-random at these code rates, the exact rescore is

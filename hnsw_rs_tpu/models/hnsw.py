@@ -115,6 +115,29 @@ def _ann_seeded_plain_jit(
     )
 
 
+def _build_shortlist(vecs, codes, scales, t: int, chunk: int = 2048):
+    """Per-pivot top-``t`` shortlists (``finalize(pivot_shortlist=T)``):
+    each pivot's t nearest stored points via tiled flat searches (pure
+    MXU + streaming top-k — [P, N] never materializes).
+
+    The pivot-query batch is CHUNKED: one flat-search dispatch holds a
+    [B, tile] f32 distance block, so 32k pivots against a 128k tile is
+    a 16 GB HLO temp — past usable HBM (measured OOM at 1M, round 4).
+    2048-pivot chunks bound it at 1 GB and pipeline as independent
+    async dispatches (DEVNOTES dispatch-floor note)."""
+    from .flat import _flat_search_tiled
+    from ..ops.distance import point_normsq
+
+    normsq = point_normsq(codes, scales)
+    fs = jax.jit(functools.partial(_flat_search_tiled, k=t))
+    parts = [
+        fs(vecs[lo:lo + chunk], codes, scales, normsq)[1]
+        for lo in range(0, vecs.shape[0], chunk)
+    ]
+    sl = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return sl.astype(jnp.int32)
+
+
 class HNSW:
     """Hierarchical Navigable Small World index on TPU."""
 
@@ -757,20 +780,11 @@ class HNSW:
                 # (misses were never-walked-to candidates); probing puts
                 # every nearby region's local top-T IN the beam at
                 # iteration 0 with exact scores.
-                import functools as _ft
-
-                from .flat import _flat_search_tiled
-                from ..ops.distance import point_normsq
-
-                t = int(pivot_shortlist)
                 n = len(self)
-                normsq = point_normsq(self.points.codes[:n],
-                                      self.points.scales[:n])
-                _, sl = jax.jit(_ft.partial(_flat_search_tiled, k=t))(
+                self._pivot_shortlist = _build_shortlist(
                     vecs, self.points.codes[:n], self.points.scales[:n],
-                    normsq,
+                    int(pivot_shortlist),
                 )
-                self._pivot_shortlist = sl.astype(jnp.int32)
             else:
                 self._pivot_shortlist = None
         elif pivots == 0:

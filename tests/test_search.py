@@ -320,3 +320,27 @@ def test_probed_shortlist_serving():
     # finalize without the flag clears the probed mode
     idx.finalize(pivots=256)
     assert idx._pivot_shortlist is None
+
+
+def test_build_shortlist_chunked_matches_single_dispatch():
+    """_build_shortlist chunks the pivot-query batch (a 32k-pivot single
+    dispatch holds a 16 GB [B, tile] temp — measured OOM at 1M, round 4);
+    chunked output must equal the one-dispatch result row-for-row."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_rs_tpu.models.hnsw import _build_shortlist
+    from hnsw_rs_tpu.ops.quant import quantize
+    from hnsw_rs_tpu.utils import gen_rand_vecs
+
+    n, d, p, t = 500, 16, 96, 6
+    codes, scales = quantize(jnp.asarray(gen_rand_vecs(n, d, seed=3)))
+    from hnsw_rs_tpu.ops.quant import dequantize
+
+    vecs = dequantize(codes[:p], scales[:p])
+    one = np.asarray(_build_shortlist(vecs, codes, scales, t, chunk=p))
+    many = np.asarray(_build_shortlist(vecs, codes, scales, t, chunk=40))
+    np.testing.assert_array_equal(one, many)
+    assert one.shape == (p, t)
+    # each pivot's own row is its nearest stored point
+    assert (one[:, 0] == np.arange(p)).mean() > 0.95
