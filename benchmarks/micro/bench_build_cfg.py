@@ -77,6 +77,14 @@ p.add_argument("--probes", type=int, default=16,
 p.add_argument("--refine", type=int, default=0,
                help="HNSW.refine(rounds=R) NN-descent passes on layer 0 "
                     "before finalize")
+p.add_argument("--save-idx", default="",
+               help="save the built index here (serving-sweep reuse)")
+p.add_argument("--load-idx", default="",
+               help="load a prior --save-idx index instead of building")
+p.add_argument("--probe-diag", action="store_true",
+               help="after the ladder: pure-IVF recall matrix over "
+                    "(probes, T) slices of the shortlist table — the "
+                    "coverage ceiling of probing alone, no beam walk")
 p.add_argument("--tag", default="")
 a = p.parse_args()
 
@@ -134,9 +142,16 @@ def build(label):
     return idx
 
 
-if not a.once:
-    idx = build("cold")
-idx = build("warm")
+if a.load_idx and os.path.isdir(a.load_idx):
+    idx = HNSW.load(a.load_idx)
+    print(f"[{tag}] loaded {a.load_idx} (n={len(idx)})", flush=True)
+else:
+    if not a.once:
+        idx = build("cold")
+    idx = build("warm")
+    if a.save_idx:
+        idx.save(a.save_idx)
+        print(f"[{tag}] saved {a.save_idx}", flush=True)
 
 qq = dequantize(*quantize(jnp.asarray(ds.test)))
 normsq = point_normsq(idx.points.codes, idx.points.scales)
@@ -173,3 +188,48 @@ for ef, mi_q in ladder:
         np.mean([len(set(x) & t) / K for x, t in zip(np.asarray(ann), truth)])
     )
     print(f"[{tag}] recall@10 ef={ef} mi={mi_q}: {rec:.4f}", flush=True)
+
+if a.probe_diag:
+    # pure-IVF coverage ceiling: top-K of the probed shortlist members
+    # alone (exact scores, NO beam walk) for (probes, T) slices of the
+    # one built table — separates probe-coverage misses from walk misses
+    import jax
+
+    from hnsw_rs_tpu.ops.distance import l2sq
+    from hnsw_rs_tpu.search import _pivot_seeds_pos, dedup_ids, sort_dist_id
+
+    @functools.partial(jax.jit, static_argnames=("probes", "t", "k"))
+    def ivf_only(shortlist, pivot_ids, pivot_vecs, codes, scales, q,
+                 probes, t, k):
+        _, _, pos = _pivot_seeds_pos(pivot_ids, pivot_vecs, q,
+                                     max(probes, 16))
+        cand = shortlist[pos[:, :probes], :t].reshape(q.shape[0], -1)
+        safe = jnp.clip(jnp.where(cand >= 0, cand, 0), 0,
+                        codes.shape[0] - 1)
+        parts = []
+        for i in range(0, safe.shape[1], 64):
+            c = safe[:, i:i + 64]
+            vec = dequantize(codes[c], scales[c])
+            parts.append(l2sq(q[:, None, :], vec))
+        d2s = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        d2s = jnp.where(cand >= 0, d2s, jnp.inf)
+        ids = jnp.where(cand >= 0, cand, 2**31 - 1)
+        # duplicates (one point in several probed shortlists) must not
+        # occupy top-k slots — dedup then (d2, id)-sort
+        d2s, ids = dedup_ids(d2s, ids)
+        d2s, ids = sort_dist_id(d2s, ids)
+        return ids[:, :k]
+
+    for probes_n in (8, 16, 32, 64):
+        for t_n in (16, 32, 64, 128):
+            if t_n > idx._pivot_shortlist.shape[1]:
+                continue
+            ids = np.asarray(ivf_only(
+                idx._pivot_shortlist, idx._pivots[0], idx._pivots[1],
+                idx.points.codes, idx.points.scales, qq, probes_n, t_n, K,
+            ))
+            rec = float(np.mean(
+                [len(set(x) & t) / K for x, t in zip(ids, truth)]
+            ))
+            print(f"[{tag}] ivf-only probes={probes_n} T={t_n}: {rec:.4f}",
+                  flush=True)
