@@ -35,7 +35,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 32, 16
+PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 128, 16
 CLUSTER_KWARGS = {"pool_p": 96, "points_per_cluster": 96, "fanout": 5,
                   "select_alg4": False, "merge_slots": 48}
 
@@ -50,7 +50,10 @@ def main() -> None:
 
     from hnsw_rs_tpu import HNSW
     from hnsw_rs_tpu.models.flat import _flat_search_tiled
-    from hnsw_rs_tpu.models.hnsw import _ann_seeded_jit, _ann_seeded_probe_jit
+    from hnsw_rs_tpu.models.hnsw import (
+        _ann_seeded_jit,
+        _ann_seeded_probe_packed_jit,
+    )
     from hnsw_rs_tpu.ops.distance import point_normsq
     from hnsw_rs_tpu.ops.quant import dequantize, quantize
     from hnsw_rs_tpu.utils.datasets import synthetic_heavy_tailed
@@ -107,8 +110,7 @@ def main() -> None:
                    pivot_shortlist=SHORTLIST)
     packed0 = index._packed0
     pivot_ids, pivot_vecs = index._pivots
-    shortlist = index._pivot_shortlist
-    codes, scales = index.points.codes, index.points.scales
+    sl_pack = index._pivot_sl_pack
     q1k = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
     qbig = dequantize(*quantize(jnp.asarray(ds.test)))
 
@@ -116,8 +118,8 @@ def main() -> None:
         return _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q, ef, K, mi)
 
     def probed(q, ef, mi):
-        return _ann_seeded_probe_jit(
-            packed0, pivot_ids, pivot_vecs, shortlist, codes, scales,
+        return _ann_seeded_probe_packed_jit(
+            packed0, pivot_ids, pivot_vecs, sl_pack, SHORTLIST, D,
             q, ef, K, mi, PROBES,
         )
 

@@ -32,6 +32,7 @@ from ..search import (
     ann_search_seeded,
     ann_search_seeded_plain,
     ann_search_seeded_probe,
+    ann_search_seeded_probe_packed,
     pack_layer,
     pack_layer_pq,
 )
@@ -85,6 +86,20 @@ def _ann_seeded_probe_jit(
 ):
     return ann_search_seeded_probe(
         packed0, pivot_ids, pivot_vecs, shortlist, codes, scales, q,
+        ef, k, max_iters, probes, expand_e,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("t", "d", "ef", "k", "max_iters", "probes", "expand_e"),
+)
+def _ann_seeded_probe_packed_jit(
+    packed0, pivot_ids, pivot_vecs, shortlist_pack, t, d, q,
+    ef, k, max_iters, probes, expand_e=1,
+):
+    return ann_search_seeded_probe_packed(
+        packed0, pivot_ids, pivot_vecs, shortlist_pack, t, d, q,
         ef, k, max_iters, probes, expand_e,
     )
 
@@ -182,6 +197,10 @@ class HNSW:
         # regions' local top-T enter the beam exactly scored at iter 0
         # (search.ann_search_seeded_probe); serve_probes = pivots probed
         self._pivot_shortlist = None
+        # packed shortlist table (pack_layer over the shortlist — it is
+        # adjacency-shaped): probes wide-row gathers per query instead
+        # of probes*T narrow ones (search.ann_search_seeded_probe_packed)
+        self._pivot_sl_pack = None
         self.serve_probes = 16
         # cluster-build serving pivots: one representative per k-means
         # cluster (set by insert_bulk(cluster_build=True); finalize seeds
@@ -444,6 +463,13 @@ class HNSW:
                 packed_pq, cb, pq_codes, self._pivots[0], self._pivots[1],
                 self.points.codes, self.points.scales, q, ef, n, max_iters,
                 rr, self.serve_expand, rot,
+            )
+        elif pack_fresh and piv_fresh and self._pivot_sl_pack is not None:
+            d, i = _ann_seeded_probe_packed_jit(
+                self._packed0, self._pivots[0], self._pivots[1],
+                self._pivot_sl_pack, self._pivot_shortlist.shape[1],
+                self.params.dim, q, ef, n, max_iters,
+                self.serve_probes, self.serve_expand,
             )
         elif pack_fresh and piv_fresh and self._pivot_shortlist is not None:
             d, i = _ann_seeded_probe_jit(
@@ -785,12 +811,27 @@ class HNSW:
                     vecs, self.points.codes[:n], self.points.scales[:n],
                     int(pivot_shortlist),
                 )
+                if packed:
+                    # packed shortlist rows (the shortlist is adjacency-
+                    # shaped, so pack_layer's row format is reused
+                    # verbatim): the probe stage then costs `probes`
+                    # wide-row gathers per query instead of probes*T
+                    # narrow ones — T=128/probes=16 is 2048 -> 16 rows
+                    # (search.ann_search_seeded_probe_packed)
+                    self._pivot_sl_pack = pack_layer(
+                        self._pivot_shortlist, self.points.codes[:n],
+                        self.points.scales[:n],
+                    )
+                else:
+                    self._pivot_sl_pack = None
             else:
                 self._pivot_shortlist = None
+                self._pivot_sl_pack = None
         elif pivots == 0:
             self._pivots = None
             self._pivots_n = -1
             self._pivot_shortlist = None
+            self._pivot_sl_pack = None
         return self
 
     def _serving_table(self) -> "jnp.ndarray":

@@ -784,6 +784,65 @@ def ann_search_seeded_probe(
     return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
 
 
+def ann_search_seeded_probe_packed(
+    packed0: jnp.ndarray,
+    pivot_ids: jnp.ndarray,
+    pivot_vecs: jnp.ndarray,
+    shortlist_pack: jnp.ndarray,
+    t: int,
+    d: int,
+    q: jnp.ndarray,
+    ef: int,
+    k: int,
+    max_iters: int,
+    probes: int,
+    expand_e: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`ann_search_seeded_probe` over a PACKED shortlist table
+    (``pack_layer(shortlist, codes, scales)`` — the shortlist IS an
+    adjacency-shaped i32[P, T], so the packed serving layout reuses the
+    beam's row format verbatim).
+
+    Same candidates, same exact scores, ~T× fewer gather rows: the
+    narrow path issues B×(probes·T) single-point gathers (row-RATE
+    bound at ~60-100 ns each — DEVNOTES), this path issues B×probes
+    wide-row gathers and decodes codes/scales/ids in-register
+    (:func:`unpack_rows`). At T=128/probes=16 that is 2048 → 16 rows
+    per query — the difference between the probe stage owning the
+    gather budget and it riding along with the beam. Scoring loops one
+    probe at a time so the dequantized [B, T, d] f32 temp stays
+    ~bounded (an all-probes [B, S, d] temp is 25 GB at serving batch)."""
+    b = q.shape[0]
+    e_d2, e_ids, pos = _pivot_seeds_pos(pivot_ids, pivot_vecs, q, ef)
+    s = min(probes, pos.shape[1])
+    ch = min(64, t)  # bound the dequantized f32 temp at [B, ch, d]
+    d2_parts, id_parts = [e_d2], [e_ids]
+    for i in range(s):
+        rows = shortlist_pack[pos[:, i]]  # [B, T*(d+12)] u8 — ONE gather
+        crow = rows[:, : t * d].reshape(b, t, d)  # u8 codes
+        srow = jax.lax.bitcast_convert_type(
+            rows[:, t * d : t * (d + 8)].reshape(b, t, 2, 4), jnp.float32
+        )  # [B, T, 2]
+        ids_i = jax.lax.bitcast_convert_type(
+            rows[:, t * (d + 8) :].reshape(b, t, 4), jnp.int32
+        )  # [B, T]
+        for c0 in range(0, t, ch):
+            vec = dequantize(crow[:, c0 : c0 + ch], srow[:, c0 : c0 + ch])
+            d2_c = l2sq(q[:, None, :], vec)  # [B, ch]
+            idc = ids_i[:, c0 : c0 + ch]
+            d2_parts.append(jnp.where(idc >= 0, d2_c, INF))
+            id_parts.append(jnp.where(idc >= 0, idc, PAD_ID))
+    md2 = jnp.concatenate(d2_parts, axis=1)
+    mids = jnp.concatenate(id_parts, axis=1)
+    md2, mids = dedup_ids(md2, mids)
+    md2, mids = sort_dist_id(md2, mids)
+    beam_d2, beam_ids = search_layer_packed(
+        packed0, q, md2[:, :ef], mids[:, :ef], ef, max_iters,
+        expand_e=expand_e,
+    )
+    return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
+
+
 def _pivot_seeds(pivot_ids, pivot_vecs, q, ef):
     """Top-ef pivot seeds per query (see :func:`_pivot_seeds_pos`)."""
     e_d2, e_ids, _ = _pivot_seeds_pos(pivot_ids, pivot_vecs, q, ef)

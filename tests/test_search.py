@@ -322,6 +322,50 @@ def test_probed_shortlist_serving():
     assert idx._pivot_shortlist is None
 
 
+def test_packed_probe_matches_narrow_probe():
+    """ann_search_seeded_probe_packed scores the SAME candidates as the
+    narrow-gather probe path (the packed rows decode to identical
+    codes/scales/ids), so returned ids match exactly and distances to
+    numerical tolerance."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_rs_tpu import HNSW
+    from hnsw_rs_tpu.models.hnsw import (
+        _ann_seeded_probe_jit,
+        _ann_seeded_probe_packed_jit,
+    )
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
+
+    n, d, k, t, probes = 3000, 24, 10, 8, 6
+    ds = synthetic_clustered(n, d, n_queries=32, seed=23)
+    idx = HNSW(10, dim=d)
+    idx.insert_bulk(ds.train)
+    idx.finalize(pivots=256, pivot_shortlist=t)
+    assert idx._pivot_sl_pack is not None
+    assert idx._pivot_sl_pack.shape == (256, t * (d + 12))
+
+    q = dequantize(*quantize(jnp.asarray(ds.test)))
+    dn, an = _ann_seeded_probe_jit(
+        idx._packed0, idx._pivots[0], idx._pivots[1],
+        idx._pivot_shortlist, idx.points.codes, idx.points.scales,
+        q, 24, k, 12, probes,
+    )
+    dp, ap = _ann_seeded_probe_packed_jit(
+        idx._packed0, idx._pivots[0], idx._pivots[1],
+        idx._pivot_sl_pack, t, d, q, 24, k, 12, probes,
+    )
+    np.testing.assert_array_equal(np.asarray(an), np.asarray(ap))
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(dp),
+                               rtol=1e-5, atol=1e-5)
+
+    # the model dispatch prefers the packed path and must agree with it
+    idx.serve_probes = probes
+    dm, am = idx.ann_batch(ds.test, k, 24, max_iters=12)
+    np.testing.assert_array_equal(am, np.asarray(ap)[: len(ds.test)])
+
+
 def test_build_shortlist_chunked_matches_single_dispatch():
     """_build_shortlist chunks the pivot-query batch (a 32k-pivot single
     dispatch holds a 16 GB [B, tile] temp — measured OOM at 1M, round 4);
