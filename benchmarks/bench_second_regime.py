@@ -114,14 +114,18 @@ def main() -> None:
     q1k = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
     qbig = dequantize(*quantize(jnp.asarray(ds.test)))
 
-    def seeded(q, ef, mi):
-        return _ann_seeded_jit(packed0, pivot_ids, pivot_vecs, q, ef, K, mi)
+    # NB: the big serving arrays ride as jit ARGUMENTS everywhere below
+    # (closure capture bakes them into the HLO as constants and the dev
+    # tunnel's remote compiler rejects multi-GB bodies — DEVNOTES 413)
+    def seeded(a, q, ef, mi):
+        return _ann_seeded_jit(a[0], a[1], a[2], q, ef, K, mi)
 
-    def probed(q, ef, mi):
+    def probed(a, q, ef, mi):
         return _ann_seeded_probe_packed_jit(
-            packed0, pivot_ids, pivot_vecs, sl_pack, SHORTLIST, D,
-            q, ef, K, mi, PROBES,
+            a[0], a[1], a[2], a[3], SHORTLIST, D, q, ef, K, mi, PROBES,
         )
+
+    arrs = (packed0, pivot_ids, pivot_vecs, sl_pack)
 
     cands = [(40, 24), (48, 32), (64, 40), (64, 56), (96, 80), (128, 112),
              (192, 200), (256, 280), (384, 500), (512, 700)]
@@ -131,7 +135,7 @@ def main() -> None:
                      ("packed+pivots", seeded)):
         chosen = None
         for ef, mi in cands:
-            _, ann = fn(q1k, ef, mi)
+            _, ann = fn(arrs, q1k, ef, mi)
             rec = float(np.mean([
                 len(set(a) & t) / K
                 for a, t in zip(np.asarray(ann), truth_sets)
@@ -146,15 +150,15 @@ def main() -> None:
         ef, mi, rec = chosen
 
         @functools.partial(jax.jit, static_argnames=("ef", "mi"))
-        def search_sum(q, ef, mi):
-            d, i = fn(q, ef, mi)
+        def search_sum(a, q, ef, mi):
+            d, i = fn(a, q, ef, mi)
             return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
 
-        int(search_sum(qbig, ef, mi))
+        int(search_sum(arrs, qbig, ef, mi))
         t0 = time.time()
         iters = 0
         while time.time() - t0 < 5.0 or iters < 3:
-            int(search_sum(qbig, ef, mi))
+            int(search_sum(arrs, qbig, ef, mi))
             iters += 1
         qps = NQ * iters / (time.time() - t0)
         rows_new.append({
