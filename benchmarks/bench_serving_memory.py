@@ -231,11 +231,14 @@ def main() -> None:
     # "usable HBM") — run `--pq-only` in a FRESH process, which also
     # shrinks the timing batch to 8k queries.
     if not pq_only:
-        del packed0, f32, adj0, adjs
-        index._f32_table = None
-        index._f32_n = -1
-        index._packed0 = None
-        index._packed_n = -1
+        # do NOT roll into the PQ modes in this process: freeing the
+        # base-mode tables is not enough — the 1M PQ timing batch
+        # OOM-killed the TPU worker in-process in round 3 (silent-OOM
+        # class, DEVNOTES "usable HBM"). PQ rows are measured by a
+        # FRESH `--pq-only` process.
+        print("base rows written; run `bench_serving_memory.py --pq-only` "
+              "in a fresh process for the PQ rows")
+        return
     # (pq_m, pq_bits): 8-bit rows are the round-3 gather-ADC points;
     # the 4-bit rows keep the same bytes/point but score via the
     # gather-free LUT16 compare-select ADC (ops.pq.adc_score16) — the
