@@ -100,21 +100,27 @@ def main() -> None:
     # per batch — the redesign after the exact hot tier measured SLOWER
     # than host-paged through this tunnel (round-3 rows above, kept for
     # the record). pq_m=12 B/point at 4 bits: 24 subspaces over d=96.
-    for pq_m in (12, 24):
+    # (pq_m, ef): the ADC beam's path diverges from the exact beam at
+    # low code rates (ADC ordering noise inside a neighborhood), so
+    # parity is bought with beam depth or code bytes — both still leave
+    # the device tier several x over host-paged QPS
+    for pq_m, ef_pq in ((12, EF), (24, EF), (24, 2 * EF), (48, EF),
+                        (48, 2 * EF)):
         pq = HybridPagedHNSW(paged_dir, pivots=4096, pq_m=pq_m, pq_bits=4,
                              cache_blocks=4096)
-        _, _ = pq.ann_batch(ds.test[:32], K, EF)  # warm compiles
+        _, _ = pq.ann_batch(ds.test[:32], K, ef_pq)  # warm compiles
         t0 = time.time()
-        _, ids_pq = pq.ann_batch(ds.test, K, EF)
+        _, ids_pq = pq.ann_batch(ds.test, K, ef_pq)
         dt_pq = time.time() - t0
         out["rows"].append({
-            "mode": f"hybrid-pq-tier-4bit-m{pq_m}",
+            "mode": f"hybrid-pq-tier-4bit-m{pq_m}-ef{ef_pq}",
             "qps": round(len(ds.test) / dt_pq, 1),
             "parity_vs_mem": round(parity(ids_pq), 4),
             "device_bytes_per_point": round(pq.device_bytes / N, 1),
             "exact_packed_bytes_per_point": wrow,
         })
         print(json.dumps(out["rows"][-1]), flush=True)
+        del pq
 
     with open(os.path.join(ROOT, "benchmarks", "PAGED_HYBRID.json"), "w") as f:
         json.dump(out, f, indent=2)
