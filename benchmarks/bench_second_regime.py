@@ -35,7 +35,7 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 128, 16
+PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 128, 32
 CLUSTER_KWARGS = {"pool_p": 96, "points_per_cluster": 96, "fanout": 5,
                   "select_alg4": False, "merge_slots": 48}
 
