@@ -78,16 +78,27 @@ def main() -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    def timed_build():
+        t0 = time.time()
+        idx = HNSW(M, ef_cons=EF_CONS, dim=D)
+        idx.insert_bulk(ds.train, cluster_build=True,
+                        cluster_kwargs=CLUSTER_KWARGS)
+        for a in idx.graph.adjs:
+            int(jnp.sum(jnp.abs(a) % 7))
+        return idx, N / (time.time() - t0)
+
     if os.path.isdir(idx_dir) and meta.get("build_vps_runs"):
         index = HNSW.load(idx_dir)
     else:
-        t0 = time.time()
-        index = HNSW(M, ef_cons=EF_CONS, dim=D)
-        index.insert_bulk(ds.train, cluster_build=True,
-                          cluster_kwargs=CLUSTER_KWARGS)
-        for a in index.graph.adjs:
-            int(jnp.sum(jnp.abs(a) % 7))
-        rate = N / (time.time() - t0)
+        # Cold-cache sessions: the first build is dominated by remote
+        # XLA compiles (measured 1,082 vec/s cold vs 6.8k-49.7k warm on
+        # this regime), which measures compiler latency, not build
+        # throughput. Record it separately and quote only WARM rates —
+        # the second build reuses every compiled program.
+        index, rate = timed_build()
+        if not meta.get("build_vps_runs"):
+            meta.setdefault("cold_build_vps", []).append(round(rate, 1))
+            index, rate = timed_build()
         meta.setdefault("build_vps_runs", []).append(round(rate, 1))
         index.save(idx_dir)
         with open(meta_path, "w") as f:
