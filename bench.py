@@ -76,7 +76,12 @@ def main() -> None:
         with open(meta_path) as f:
             meta = json.load(f)
 
-    if os.path.isdir(idx_dir) and "build_rate" in meta:
+    # HNSW_BENCH_FRESH=1 forces a fresh (cold+warm) build even when the
+    # cached index exists: every warm rate lands in meta["build_rate_runs"],
+    # which is how the committed build-rate RANGE accumulates history
+    # across sessions (tunnel/host throughput swings ~2-7x — DEVNOTES).
+    fresh = bool(os.environ.get("HNSW_BENCH_FRESH"))
+    if os.path.isdir(idx_dir) and "build_rate" in meta and not fresh:
         index = HNSW.load(idx_dir)
         build_rate = meta["build_rate"]
     else:

@@ -13,6 +13,11 @@ on the same build:
                           WALKS to behind a shell of closer dense
                           expansions; probing makes them beam members
                           instead of walk targets)
+  packed+pivots+probed-narrow — same probe semantics via the int32
+                          shortlist + narrow gathers against the base
+                          codes (no packed shortlist table): the
+                          memory-honest probed variant. Every row now
+                          carries serve_bytes_per_point / mem_x_raw.
 
 Build config = bench.py's headline cluster build (the config sweep
 generalizes: measured 49.7k vec/s on this regime, round 4). The build
@@ -52,6 +57,7 @@ def main() -> None:
     from hnsw_rs_tpu.models.flat import _flat_search_tiled
     from hnsw_rs_tpu.models.hnsw import (
         _ann_seeded_jit,
+        _ann_seeded_probe_jit,
         _ann_seeded_probe_packed_jit,
     )
     from hnsw_rs_tpu.ops.distance import point_normsq
@@ -87,18 +93,24 @@ def main() -> None:
             int(jnp.sum(jnp.abs(a) % 7))
         return idx, N / (time.time() - t0)
 
-    if os.path.isdir(idx_dir) and meta.get("build_vps_runs"):
+    if (os.path.isdir(idx_dir) and meta.get("build_vps_runs")
+            and "--fresh" not in sys.argv):
         index = HNSW.load(idx_dir)
     else:
-        # Cold-cache sessions: the first build is dominated by remote
-        # XLA compiles (measured 1,082 vec/s cold vs 6.8k-49.7k warm on
-        # this regime), which measures compiler latency, not build
-        # throughput. Record it separately and quote only WARM rates —
-        # the second build reuses every compiled program.
+        # Every building PROCESS builds twice: the first build pays
+        # whatever this process is cold on — remote XLA compiles on a
+        # cold disk cache (measured 1,082 vec/s: pure compiler latency,
+        # not build throughput) or just cache loading on a warm one —
+        # and is recorded to cold_build_vps only. The second build
+        # reuses every program compiled in-process, so ONLY its rate
+        # enters the warm-only build_vps_runs range the committed rows
+        # quote. (Gating the double-build on meta history instead let a
+        # cold rate leak into the warm list — round-4 advisor finding.)
+        # `--fresh` forces a rebuild over a cached index so warm-run
+        # history accumulates across sessions.
         index, rate = timed_build()
-        if not meta.get("build_vps_runs"):
-            meta.setdefault("cold_build_vps", []).append(round(rate, 1))
-            index, rate = timed_build()
+        meta.setdefault("cold_build_vps", []).append(round(rate, 1))
+        index, rate = timed_build()
         meta.setdefault("build_vps_runs", []).append(round(rate, 1))
         index.save(idx_dir)
         with open(meta_path, "w") as f:
@@ -136,13 +148,39 @@ def main() -> None:
             a[0], a[1], a[2], a[3], SHORTLIST, D, q, ef, K, mi, PROBES,
         )
 
-    arrs = (packed0, pivot_ids, pivot_vecs, sl_pack)
+    def probed_narrow(a, q, ef, mi):
+        # memory-honest probed variant: probes the int32 shortlist with
+        # per-member narrow gathers against the base codes/scales the
+        # index already holds — no 453 MB packed shortlist table
+        # (search.ann_search_seeded_probe vs ..._probe_packed)
+        return _ann_seeded_probe_jit(
+            a[0], a[1], a[2], a[4], a[5], a[6], q, ef, K, mi, PROBES,
+        )
+
+    shortlist = index._pivot_shortlist
+    arrs = (packed0, pivot_ids, pivot_vecs, sl_pack, shortlist,
+            index.points.codes, index.points.scales)
+
+    # serving-memory honesty (VERDICT r4): device bytes actually held by
+    # each mode — packed rows + pivot table + codes/scales + adjacency,
+    # plus the mode's probe structure (packed shortlist rows vs the
+    # narrow int32 shortlist). mem_x_raw divides by N*D*4 raw f32.
+    base_bytes = int(packed0.size + pivot_vecs.size * 4
+                     + pivot_ids.size * 4 + N * D + N * 8)
+    for a_ in index.graph.adjs:
+        base_bytes += N * a_.shape[1] * 4
+    mode_bytes = {
+        "packed+pivots+probed": base_bytes + int(sl_pack.size),
+        "packed+pivots+probed-narrow": base_bytes + int(shortlist.size) * 4,
+        "packed+pivots": base_bytes,
+    }
 
     cands = [(40, 24), (48, 32), (64, 40), (64, 56), (96, 80), (128, 112),
              (192, 200), (256, 280), (384, 500), (512, 700)]
 
     rows_new = []
     for mode, fn in (("packed+pivots+probed", probed),
+                     ("packed+pivots+probed-narrow", probed_narrow),
                      ("packed+pivots", seeded)):
         chosen = None
         for ef, mi in cands:
@@ -177,11 +215,13 @@ def main() -> None:
             "n": N, "d": D, "m": M, "ef_cons": EF_CONS,
             "mode": mode, "pivots": int(pivot_ids.shape[0]),
             "pivot_cover": COVER,
-            "shortlist": SHORTLIST if mode.endswith("probed") else 0,
-            "probes": PROBES if mode.endswith("probed") else 0,
+            "shortlist": SHORTLIST if "probed" in mode else 0,
+            "probes": PROBES if "probed" in mode else 0,
             "ef": ef, "max_iters": mi,
             "recall": round(rec, 4), "gate_met": gate_met,
             "qps": round(qps, 1),
+            "serve_bytes_per_point": round(mode_bytes[mode] / N, 1),
+            "mem_x_raw": round(mode_bytes[mode] / (N * D * 4), 2),
             "build_vps_range": [min(runs), max(runs)],
             "build_runs": len(runs),
         })

@@ -44,7 +44,7 @@ p.add_argument("--qps-all", action="store_true",
                help="measure QPS for every grid point, not just gated ones")
 args = p.parse_args()
 
-D, K, M, EF_CONS, NQ, NQ_RECALL = 96, 10, 24, 32768, 32768, 1024
+D, K, M, NQ, NQ_RECALL = 96, 10, 24, 32768, 1024
 N = args.n
 cache = os.path.join(ROOT, ".bench_cache")
 idx_dir = os.path.join(cache, f"idx_ht2_n{N}_d{D}_m{M}_efc128")
