@@ -76,6 +76,20 @@ def main() -> None:
         with open(meta_path) as f:
             meta = json.load(f)
 
+    # Build-code version: the quoted range is a range over fresh builds
+    # OF THE SAME BUILDER. When the build path materially changes (e.g.
+    # the round-5 fused-kmeans single-dispatch pipeline), mixing old-code
+    # runs into the range would misreport both; archive them and start a
+    # new list. Bump BUILD_CODE_V on any change that alters build cost.
+    BUILD_CODE_V = 2  # v2: build_cluster.kmeans fused into one jit
+    if meta.get("build_code_v", 1) != BUILD_CODE_V:
+        if meta.get("build_rate_runs"):
+            meta[f"build_rate_runs_v{meta.get('build_code_v', 1)}"] = (
+                meta.pop("build_rate_runs")
+            )
+        meta.pop("build_rate", None)  # force a rebuild: cache is old-code
+        meta["build_code_v"] = BUILD_CODE_V
+
     # HNSW_BENCH_FRESH=1 forces a fresh (cold+warm) build even when the
     # cached index exists: every warm rate lands in meta["build_rate_runs"],
     # which is how the committed build-rate RANGE accumulates history

@@ -84,6 +84,17 @@ def main() -> None:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+
+    # warm-rate history is per BUILDER VERSION (see bench.py): archive
+    # runs measured by older build code instead of mixing ranges
+    BUILD_CODE_V = 2  # v2: build_cluster.kmeans fused into one jit
+    if meta.get("build_code_v", 1) != BUILD_CODE_V:
+        if meta.get("build_vps_runs"):
+            meta[f"build_vps_runs_v{meta.get('build_code_v', 1)}"] = (
+                meta.pop("build_vps_runs")
+            )
+        meta["build_code_v"] = BUILD_CODE_V
+
     def timed_build():
         t0 = time.time()
         idx = HNSW(M, ef_cons=EF_CONS, dim=D)

@@ -44,6 +44,30 @@ from ..ops.distance import l2sq, normalize
 from ..ops.quant import dequantize, quantize
 from ..ops.topk import INF, PAD_ID, sort_dist_id
 
+# Dense Lloyd materializes an [N, C] f32 distance block per step; past
+# this many bytes the coarse quantizer routes through the cluster
+# builder's scale-safe kmeans (subsampled Lloyd + chunked scatter-free
+# assignment, build_cluster.kmeans) instead — at 1M x 8192 lists the
+# dense block would be 32 GB, ~4x usable HBM (DEVNOTES). Module-level so
+# tests can force the chunked path at toy sizes.
+DENSE_KMEANS_LIMIT = 1 << 30
+
+
+def _coarse_kmeans(codes, scales, c: int, iters: int, seed: int):
+    """Coarse-quantizer k-means, scale-dispatched: the dense batched
+    Lloyd (seeded random init) under DENSE_KMEANS_LIMIT, the cluster
+    builder's subsampled/chunked kmeans above it (deterministic strided
+    init). Returns (centroids f32[c, d], assign i32[N])."""
+    n = codes.shape[0]
+    if n * c * 4 > DENSE_KMEANS_LIMIT:
+        from ..build_cluster import kmeans as _kmeans_chunked
+
+        return _kmeans_chunked(codes, scales, c, iters=iters)
+    x = dequantize(codes, scales)
+    rng = np.random.default_rng(seed)
+    init = jnp.asarray(rng.choice(n, size=c, replace=False).astype(np.int32))
+    return _kmeans(x, init, c, iters)
+
 
 @functools.partial(jax.jit, static_argnames=("iters", "c"))
 def _kmeans(x: jnp.ndarray, init_idx: jnp.ndarray, c: int, iters: int):
@@ -153,10 +177,9 @@ class IVFFlatIndex:
         self.n_lists = c
         self.codes, self.scales = quantize(jnp.asarray(vectors))
         self._n = n
-        x = dequantize(self.codes, self.scales)
-        rng = np.random.default_rng(self.seed)
-        init = jnp.asarray(rng.choice(n, size=c, replace=False).astype(np.int32))
-        cent, assign = _kmeans(x, init, c, self.kmeans_iters)
+        cent, assign = _coarse_kmeans(
+            self.codes, self.scales, c, self.kmeans_iters, self.seed
+        )
         self.centroids = cent
         self._assign = np.asarray(assign)
         self._pack()

@@ -40,7 +40,11 @@ from ..ops.pq import pq_encode as _pq_encode
 from ..ops.pq import pq_train as _pq_train
 from ..ops.quant import dequantize, quantize
 from ..ops.topk import INF, PAD_ID, sort_dist_id
-from .ivf import _assign_jit, _kmeans
+from .ivf import _assign_jit, _coarse_kmeans
+
+# PQ codebook training subsample cap (see train_add): the vmapped Lloyd
+# and the encoder both materialize [rows, m_pq, 256]-shaped temps.
+_PQ_TRAIN_MAX = 65536
 
 
 @functools.partial(jax.jit, static_argnames=("n_probe", "k"))
@@ -175,34 +179,55 @@ class IVFPQIndex:
         self._n = n
         x = dequantize(self.codes, self.scales)
         rng = np.random.default_rng(self.seed)
-        init = jnp.asarray(rng.choice(n, size=c, replace=False).astype(np.int32))
-        cent, assign = _kmeans(x, init, c, self.kmeans_iters)
+        cent, assign = _coarse_kmeans(
+            self.codes, self.scales, c, self.kmeans_iters, self.seed
+        )
         self.centroids = cent
         self._assign = np.asarray(assign)
         res_flat = x - cent[assign]  # [n, d] residuals
+        # PQ training past ~64k rows runs on an evenly-strided subsample:
+        # the vmapped Lloyd materializes an [m_pq, Ntrain, 256] distance
+        # temp (16 GB at 1M x m16 — past HBM); 64k samples train the
+        # codebooks to the same distortion (standard PQ practice, same
+        # recipe as models/hnsw.finalize's PQ serving mode)
+        ts = min(n, _PQ_TRAIN_MAX)
         if self.opq:
             from ..ops.pq import opq_train
 
             self.rot, self.codebooks = opq_train(
                 res_flat, self.m_pq, pq_iters=self.pq_iters,
-                opq_iters=self.opq_iters, seed=self.seed,
+                opq_iters=self.opq_iters, seed=self.seed, train_n=ts,
             )
             res_flat = jnp.dot(
                 res_flat, self.rot, preferred_element_type=jnp.float32
             )
-            res = res_flat.reshape(n, self.m_pq, self.dim // self.m_pq)
         else:
             self.rot = jnp.eye(self.dim, dtype=jnp.float32)
-            res = res_flat.reshape(n, self.m_pq, self.dim // self.m_pq)
-            pq_init = jnp.asarray(
-                rng.choice(n, size=min(256, n), replace=False).astype(np.int32)
-            )
-            if n < 256:  # tiny collections: repeat rows to fill the codebook
-                pq_init = jnp.concatenate(
-                    [pq_init, jnp.zeros((256 - n,), jnp.int32)]
+            res_train = res_flat
+            if ts < n:
+                pick = jnp.asarray(
+                    np.linspace(0, n - 1, ts).round().astype(np.int64)
                 )
-            self.codebooks = _pq_train(res, pq_init, self.pq_iters)
-        pq_codes = np.asarray(_pq_encode(res, self.codebooks))
+                res_train = res_flat[pick]
+            res_train = res_train.reshape(ts, self.m_pq, self.dim // self.m_pq)
+            pq_init = jnp.asarray(
+                rng.choice(ts, size=min(256, ts), replace=False).astype(np.int32)
+            )
+            if ts < 256:  # tiny collections: repeat rows to fill the codebook
+                pq_init = jnp.concatenate(
+                    [pq_init, jnp.zeros((256 - ts,), jnp.int32)]
+                )
+            self.codebooks = _pq_train(res_train, pq_init, self.pq_iters)
+        # chunked encode for the same temp reason ([Nchunk, m_pq, 256])
+        ds_sub = self.dim // self.m_pq
+        ch = 1 << 16
+        pq_codes = np.concatenate([
+            np.asarray(_pq_encode(
+                res_flat[s : s + ch].reshape(-1, self.m_pq, ds_sub),
+                self.codebooks,
+            ))
+            for s in range(0, n, ch)
+        ])
         self._pack(pq_codes)
         if not self.keep_codes:
             self.codes = np.asarray(self.codes)  # spill to host memory

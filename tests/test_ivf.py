@@ -187,3 +187,27 @@ def test_flat_save_load_roundtrip(tmp_path):
         db, ib = back.search(queries, 6)
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_allclose(da, db, rtol=1e-6, atol=1e-6)
+
+
+def test_ivf_chunked_kmeans_path(monkeypatch):
+    """Past DENSE_KMEANS_LIMIT the coarse quantizer routes through the
+    cluster builder's subsampled/chunked kmeans (the dense [N, C] Lloyd
+    temp is 32 GB at 1M x 8192 lists — the scale this family publishes
+    numbers at, benchmarks/bench_families.py). Forcing the limit to 0
+    exercises that path at toy size: full-probe stays exact and partial
+    probe stays a working ANN."""
+    from hnsw_rs_tpu.models import ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "DENSE_KMEANS_LIMIT", 0)
+    n, d = 2000, 24
+    vecs = gen_rand_vecs(n, d, seed=7)
+    queries = gen_rand_vecs(32, d, seed=8)
+    flat = FlatIndex(d)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+    ivf = IVFFlatIndex(d, n_lists=32, kmeans_iters=8)
+    ivf.train_add(vecs)
+    _, ids_all = ivf.search(queries, 10, n_probe=32)
+    assert recall(ids_all, truth, 10) == 1.0
+    _, ids16 = ivf.search(queries, 10, n_probe=16)
+    assert recall(ids16, truth, 10) > 0.9

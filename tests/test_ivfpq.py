@@ -141,3 +141,25 @@ def test_ivfpq_opq_recall_and_roundtrip(tmp_path):
     db, ib = back.search(queries, 5)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db, rtol=1e-5, atol=1e-5)
+
+
+def test_ivfpq_subsampled_train_path(monkeypatch):
+    """The 1M-scale code path: chunked coarse kmeans + PQ codebooks
+    trained on an evenly-strided subsample + chunked encode (the vmapped
+    Lloyd/encoder temps are [rows, m_pq, 256] — 16 GB at full 1M). Forced
+    at toy size via the module knobs; rerank recall must stay ANN-grade."""
+    from hnsw_rs_tpu.models import ivf as ivf_mod
+    from hnsw_rs_tpu.models import ivfpq as ivfpq_mod
+
+    monkeypatch.setattr(ivf_mod, "DENSE_KMEANS_LIMIT", 0)
+    monkeypatch.setattr(ivfpq_mod, "_PQ_TRAIN_MAX", 512)
+    n, d = 3000, 32
+    vecs = _clustered(n, d, seed=3)
+    queries = _clustered(64, d, seed=4)
+    flat = FlatIndex(d)
+    flat.add(vecs)
+    _, truth = flat.search(queries, 10, exact=True)
+    ivf = IVFPQIndex(d, n_lists=32, m_pq=8, kmeans_iters=6, rerank=64)
+    ivf.train_add(vecs)
+    _, ids = ivf.search(queries, 10, n_probe=16)
+    assert recall(ids, truth, 10) > 0.8
