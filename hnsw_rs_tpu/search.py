@@ -725,6 +725,23 @@ def ann_search_seeded(
     return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
 
 
+def _top_ef_oversampled(md2, mids, ef: int):
+    """Top-ef of a wide (d2, id) candidate pool: 2x-oversampled
+    ``approx_max_k`` then an exact (d2, id) sort of the survivors — the
+    same two-stage recipe as :func:`_pivot_seeds_pos`, applied to the
+    probe-merge pool. The full-width two-key sort this replaces was a
+    top cost of probed serving at high T·probes (a [B, probes*T + ef]
+    sort per batch: at T=256/probes=32 that is 8k+ lanes per query,
+    measured as the difference between ~17k and ~25k+ gate QPS on the
+    heavy-tailed regime). A true top-ef candidate is lost only if it
+    falls outside the approx top-2ef — far into approx_max_k's
+    high-recall regime; the committed recall ladders gate the effect."""
+    if md2.shape[1] <= 2 * ef:
+        return sort_dist_id(md2, mids)
+    nv, idx = jax.lax.approx_max_k(-md2, 2 * ef, recall_target=0.95)
+    return sort_dist_id(-nv, jnp.take_along_axis(mids, idx, axis=1))
+
+
 def ann_search_seeded_probe(
     packed0: jnp.ndarray,
     pivot_ids: jnp.ndarray,
@@ -776,7 +793,7 @@ def ann_search_seeded_probe(
     md2 = jnp.concatenate([e_d2, d2s], axis=1)
     mids = jnp.concatenate([e_ids, ids], axis=1)
     md2, mids = dedup_ids(md2, mids)
-    md2, mids = sort_dist_id(md2, mids)
+    md2, mids = _top_ef_oversampled(md2, mids, ef)
     beam_d2, beam_ids = search_layer_packed(
         packed0, q, md2[:, :ef], mids[:, :ef], ef, max_iters,
         expand_e=expand_e,
@@ -835,7 +852,7 @@ def ann_search_seeded_probe_packed(
     md2 = jnp.concatenate(d2_parts, axis=1)
     mids = jnp.concatenate(id_parts, axis=1)
     md2, mids = dedup_ids(md2, mids)
-    md2, mids = sort_dist_id(md2, mids)
+    md2, mids = _top_ef_oversampled(md2, mids, ef)
     beam_d2, beam_ids = search_layer_packed(
         packed0, q, md2[:, :ef], mids[:, :ef], ef, max_iters,
         expand_e=expand_e,
