@@ -107,6 +107,16 @@ for probes in probes_list:
 
 out = os.path.join(ROOT, "benchmarks", "micro",
                    f"SWEEP_HT_T{T}.json")
+# merge-on-write: the frontier accumulates across sweep invocations
+# (grids are run in pieces); same (t, probes, ef, mi) rows are replaced
+prev = []
+if os.path.exists(out):
+    with open(out) as f:
+        prev = json.load(f).get("rows", [])
+key = lambda r: (r["t"], r["probes"], r["ef"], r["mi"])  # noqa: E731
+have = {key(r) for r in rows}
+rows = [r for r in prev if key(r) not in have] + rows
+rows.sort(key=key)
 with open(out, "w") as f:
     json.dump({"rows": rows}, f, indent=2)
 print(f"wrote {out}")

@@ -725,21 +725,35 @@ def ann_search_seeded(
     return jnp.sqrt(beam_d2[:, :k]), beam_ids[:, :k]
 
 
-def _top_ef_oversampled(md2, mids, ef: int):
-    """Top-ef of a wide (d2, id) candidate pool: 2x-oversampled
-    ``approx_max_k`` then an exact (d2, id) sort of the survivors — the
-    same two-stage recipe as :func:`_pivot_seeds_pos`, applied to the
-    probe-merge pool. The full-width two-key sort this replaces was a
-    top cost of probed serving at high T·probes (a [B, probes*T + ef]
-    sort per batch: at T=256/probes=32 that is 8k+ lanes per query,
-    measured as the difference between ~17k and ~25k+ gate QPS on the
-    heavy-tailed regime). A true top-ef candidate is lost only if it
-    falls outside the approx top-2ef — far into approx_max_k's
-    high-recall regime; the committed recall ladders gate the effect."""
-    if md2.shape[1] <= 2 * ef:
-        return sort_dist_id(md2, mids)
-    nv, idx = jax.lax.approx_max_k(-md2, 2 * ef, recall_target=0.95)
-    return sort_dist_id(-nv, jnp.take_along_axis(mids, idx, axis=1))
+def _top_ef_dedup_oversampled(md2, mids, ef: int):
+    """Deduplicated top-ef of a wide (d2, id) candidate pool:
+    4x-oversampled ``approx_max_k`` FIRST, then dedup + exact (d2, id)
+    sort of the survivors — the :func:`_pivot_seeds_pos` two-stage
+    recipe applied to the probe merge. The full-width passes this
+    replaces (a [B, probes*T + ef] id-sort for dedup plus a same-width
+    two-key sort) were a top cost of probed serving at high T·probes
+    (8k+ lanes per query at T=256/probes=32 — measured as the
+    difference between a ~17k and a ~25k-class gate point on the
+    heavy-tailed 1M regime).
+
+    Reducing BEFORE dedup means duplicate ids (overlapping probed
+    shortlists) crowd the oversampled pool — 4x oversampling hedges
+    that, and the crowding is worst exactly where the graph walk is
+    strongest (a dense region's shortlists overlap because its points
+    are near many probed pivots; such queries converge by walk alone —
+    DEVNOTES probe-coverage matrix). A true top-ef candidate is
+    otherwise lost only if it falls outside the approx top-4ef, far
+    into approx_max_k's high-recall regime. The committed recall
+    ladders (benchmarks/micro/SWEEP_HT_T256.json, SERVING_REGIMES.json)
+    gate the effect: measured recall was IDENTICAL to 4 decimals at
+    every grid point vs the exact full-width merge."""
+    s = min(4 * ef, md2.shape[1])
+    if md2.shape[1] > s:
+        nv, idx = jax.lax.approx_max_k(-md2, s, recall_target=0.95)
+        md2 = -nv
+        mids = jnp.take_along_axis(mids, idx, axis=1)
+    md2, mids = dedup_ids(md2, mids)
+    return sort_dist_id(md2, mids)
 
 
 def ann_search_seeded_probe(
@@ -792,8 +806,7 @@ def ann_search_seeded_probe(
     ids = jnp.where(cand >= 0, cand, PAD_ID)
     md2 = jnp.concatenate([e_d2, d2s], axis=1)
     mids = jnp.concatenate([e_ids, ids], axis=1)
-    md2, mids = dedup_ids(md2, mids)
-    md2, mids = _top_ef_oversampled(md2, mids, ef)
+    md2, mids = _top_ef_dedup_oversampled(md2, mids, ef)
     beam_d2, beam_ids = search_layer_packed(
         packed0, q, md2[:, :ef], mids[:, :ef], ef, max_iters,
         expand_e=expand_e,
@@ -851,8 +864,7 @@ def ann_search_seeded_probe_packed(
             id_parts.append(jnp.where(idc >= 0, idc, PAD_ID))
     md2 = jnp.concatenate(d2_parts, axis=1)
     mids = jnp.concatenate(id_parts, axis=1)
-    md2, mids = dedup_ids(md2, mids)
-    md2, mids = _top_ef_oversampled(md2, mids, ef)
+    md2, mids = _top_ef_dedup_oversampled(md2, mids, ef)
     beam_d2, beam_ids = search_layer_packed(
         packed0, q, md2[:, :ef], mids[:, :ef], ef, max_iters,
         expand_e=expand_e,
