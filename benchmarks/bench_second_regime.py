@@ -40,7 +40,12 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 128, 32
+# T=256/probes=36 at ef=40/mi=28: the measured heavy-tailed gate
+# frontier (benchmarks/micro/SWEEP_HT_T256.json, 33-point grid): the
+# r4 config (T=128/probes=32) gated at 15.3k QPS; T dominates probes
+# (DEVNOTES probe-coverage matrix) and the approx probe-merge (r5,
+# search._top_ef_dedup_oversampled) pays for the wider rows
+PIVOTS, COVER, SHORTLIST, PROBES = 32768, 0.5, 256, 36
 CLUSTER_KWARGS = {"pool_p": 96, "points_per_cluster": 96, "fanout": 5,
                   "select_alg4": False, "merge_slots": 48}
 
@@ -186,8 +191,9 @@ def main() -> None:
         "packed+pivots": base_bytes,
     }
 
-    cands = [(40, 24), (48, 32), (64, 40), (64, 56), (96, 80), (128, 112),
-             (192, 200), (256, 280), (384, 500), (512, 700)]
+    cands = [(40, 24), (40, 28), (48, 28), (48, 32), (64, 40), (64, 56),
+             (96, 80), (128, 112), (192, 200), (256, 280), (384, 500),
+             (512, 700)]
 
     rows_new = []
     for mode, fn in (("packed+pivots+probed", probed),
