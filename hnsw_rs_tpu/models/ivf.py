@@ -105,10 +105,30 @@ def _assign_jit(x: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(d2, 1).astype(jnp.int32)
 
 
+# One-shot [B, p, Lmax, d] f32 scoring temp cap for _ivf_search: under
+# it, every probed list is scored in one fused pass and results get one
+# exact (d2, id) sort — the bit-exact path every unit test runs. Above
+# it (1M-scale serving batches: 32k queries x Lmax 2k+ x d 96 is ~29 GB,
+# measured OOM at compile), the scanned/chunked path below takes over.
+DENSE_IVF_SEARCH_LIMIT = 1 << 30
+
+
 @functools.partial(jax.jit, static_argnames=("n_probe", "k"))
 def _ivf_search(q, centroids, blocks, bscales, block_ids, n_probe: int, k: int):
     """q f32[B, d]; blocks u8/f32[C, Lmax, d]; bscales f32[C, Lmax, 2] or
-    None (f32 blocks); block_ids i32[C, Lmax]."""
+    None (f32 blocks); block_ids i32[C, Lmax].
+
+    Large shapes scan one probed list per step with per-chunk top-k
+    pre-reduction: scoring temps stay [B, chunk, d] (~512 MB bound), a
+    per-chunk ``lax.top_k`` keeps k survivors (distance ties break by
+    in-list position, which equals ascending id within a chunk — lists
+    are packed in stable insertion order), and the running merge is the
+    exact two-key (d2, id) top-k. Unit-scale shapes keep the one-shot
+    bit-exact path (full-probe == exact search, pinned by tests)."""
+    from ..ops.topk import topk_dist_id
+
+    b, d = q.shape
+    _, lmax, _ = blocks.shape
     cd2 = (
         jnp.sum(q * q, 1, keepdims=True)
         - 2.0 * jnp.dot(q, centroids.T, preferred_element_type=jnp.float32,
@@ -116,18 +136,48 @@ def _ivf_search(q, centroids, blocks, bscales, block_ids, n_probe: int, k: int):
         + jnp.sum(centroids * centroids, 1)[None, :]
     )
     _, probe = jax.lax.top_k(-cd2, n_probe)  # [B, p] list indices
-    cand = blocks[probe]  # [B, p, Lmax, d] — contiguous block gather
-    cand_ids = block_ids[probe]  # [B, p, Lmax]
-    if bscales is not None:  # quantized blocks: dequantize in-register
-        s = bscales[probe]  # [B, p, Lmax, 2]
-        cand = cand.astype(jnp.float32) * s[..., 1:2] + s[..., 0:1]
-    b, p, lmax, d = cand.shape
-    d2 = l2sq(q[:, None, None, :], cand).reshape(b, p * lmax)
-    ids = cand_ids.reshape(b, p * lmax)
-    d2 = jnp.where(ids >= 0, d2, INF)
-    ids = jnp.where(ids >= 0, ids, PAD_ID)
-    sd, si = sort_dist_id(d2, ids)
-    return jnp.sqrt(sd[:, :k]), si[:, :k]
+    if b * n_probe * lmax * d * 4 <= DENSE_IVF_SEARCH_LIMIT:
+        cand = blocks[probe]  # [B, p, Lmax, d] — contiguous block gather
+        cand_ids = block_ids[probe]  # [B, p, Lmax]
+        if bscales is not None:  # quantized blocks: dequantize in-register
+            s = bscales[probe]  # [B, p, Lmax, 2]
+            cand = cand.astype(jnp.float32) * s[..., 1:2] + s[..., 0:1]
+        d2 = l2sq(q[:, None, None, :], cand).reshape(b, n_probe * lmax)
+        ids = cand_ids.reshape(b, n_probe * lmax)
+        d2 = jnp.where(ids >= 0, d2, INF)
+        ids = jnp.where(ids >= 0, ids, PAD_ID)
+        sd, si = sort_dist_id(d2, ids)
+        return jnp.sqrt(sd[:, :k]), si[:, :k]
+
+    ch = min(lmax, max(64, (1 << 29) // max(b * d * 4, 1)))
+
+    def step(carry, pi):
+        bd, bi = carry
+        li = probe[:, pi]  # [B]
+        ids_full = block_ids[li]  # [B, Lmax]
+        parts_d, parts_i = [bd], [bi]
+        for c0 in range(0, lmax, ch):
+            candc = blocks[li, c0 : c0 + ch]  # [B, ch, d] sliced gather
+            if bscales is not None:
+                sc = bscales[li, c0 : c0 + ch]
+                candc = (candc.astype(jnp.float32) * sc[..., 1:2]
+                         + sc[..., 0:1])
+            d2c = l2sq(q[:, None, :], candc)
+            idc = ids_full[:, c0 : c0 + ch]
+            d2c = jnp.where(idc >= 0, d2c, INF)
+            idc = jnp.where(idc >= 0, idc, PAD_ID)
+            kk = min(k, d2c.shape[1])
+            nv, pos = jax.lax.top_k(-d2c, kk)
+            parts_d.append(-nv)
+            parts_i.append(jnp.take_along_axis(idc, pos, axis=1))
+        md = jnp.concatenate(parts_d, axis=1)
+        mi = jnp.concatenate(parts_i, axis=1)
+        return topk_dist_id(md, mi, k), None
+
+    bd0 = jnp.full((b, k), INF, jnp.float32)
+    bi0 = jnp.full((b, k), PAD_ID, jnp.int32)
+    (bd, bi), _ = jax.lax.scan(step, (bd0, bi0), jnp.arange(n_probe))
+    return jnp.sqrt(bd), bi
 
 
 class IVFFlatIndex:
