@@ -29,6 +29,7 @@ import time
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)  # the 8-device virtual mesh
 ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, ROOT)
 
@@ -53,7 +54,11 @@ def main() -> None:
     _, truth = flat.search(ds.test, 10, exact=True)
     truth_sets = [set(t) for t in truth]
 
-    ck = dict(points_per_cluster=96, fanout=5, pool_p=96,
+    # mirror the >=10k recall-gate test's config (tests/test_sharded_build
+    # .py::test_concurrent_cluster_build_recall_at_scale): ppc=64/fanout=4
+    # and a pivots budget of n/24 — n/96 pivots left no cover-fill
+    # headroom over the cluster reps and measured 0.65-0.67 recall
+    ck = dict(points_per_cluster=64, fanout=4, pool_p=96,
               select_alg4=False, merge_slots=24)
     rows = []
     for s in a.shards:
@@ -65,7 +70,7 @@ def main() -> None:
             t0 = time.time()
             idx.insert_bulk(ds.train, cluster_build=True, cluster_kwargs=ck)
             dt = time.time() - t0
-        idx.finalize(pivots=max(64, a.n // 96))
+        idx.finalize(pivots=max(64, a.n // 24))
         _, ids = idx.ann_batch(ds.test, 10, 64)
         rec = float(np.mean(
             [len(set(x) & t) / 10 for x, t in zip(ids, truth_sets)]
