@@ -75,12 +75,16 @@ def _ivfpq_search(
     qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
     centr = jnp.dot(centroids, rot, preferred_element_type=jnp.float32)
 
-    # bound the [B, m, chunk] LUT-take temp (ids + f32 values ~8 B per
-    # cell): one un-chunked take at 1M-scale serving batches is ~15 GB
-    # (B=32k, m=48, Lmax=2.4k) — past HBM. Per-chunk lax.top_k keeps k
-    # survivors (ADC distances; ties break by in-list position, which is
-    # ascending id within a chunk — lists pack in stable insertion
-    # order); the running merge stays the exact two-key top-k.
+    # bound the [B, m, chunk] LUT-take temp (i32 indices + f32 values,
+    # ~8 B per cell): one un-chunked take at 1M-scale serving batches is
+    # ~15 GB (B=32k, m=48, Lmax=2.4k) — past HBM. The probed block is
+    # gathered ONCE per step as u8 (cheap: m_pq bytes/entry); only the
+    # take runs in slices, and its per-chunk d2 pieces concatenate back
+    # to the full [B, Lmax] row for the exact two-key running merge —
+    # identical results to the one-shot take at every chunk size.
+    # (An earlier variant that sliced the gather itself and pre-reduced
+    # per chunk with lax.top_k faulted the TPU worker at 1M — DEVNOTES
+    # "IVF at 1M".)
     lmax = blocks.shape[1]
     ch = min(lmax, max(64, (1 << 29) // max(b * m_pq * 8, 1)))
 
@@ -95,24 +99,20 @@ def _ivfpq_search(
             preferred_element_type=jnp.float32,
         )
         lut = jnp.sum(rs * rs, -1)[..., None] - 2.0 * cross + cbn[None]
+        cand = blocks[pl]  # [B, Lmax, m_pq] u8 — one contiguous gather
         cand_ids = block_ids[pl]  # [B, Lmax]
-        parts_d, parts_i = [bd], [bi]
+        parts = []
         for c0 in range(0, lmax, ch):
-            cand = blocks[pl, c0 : c0 + ch]  # [B, ch, m_pq] u8
-            idx = cand.astype(jnp.int32).transpose(0, 2, 1)  # [B, m, ch]
-            got = jnp.take_along_axis(lut, idx, axis=2)  # [B, m, ch]
-            d2c = jnp.maximum(jnp.sum(got, axis=1), 0.0)  # [B, ch]
-            idc = cand_ids[:, c0 : c0 + ch]
-            d2c = jnp.where(idc >= 0, d2c, INF)
-            idc = jnp.where(idc >= 0, idc, PAD_ID)
-            if lmax > ch and d2c.shape[1] > k:  # multi-chunk pre-reduce
-                nv, pos = jax.lax.top_k(-d2c, k)
-                d2c = -nv
-                idc = jnp.take_along_axis(idc, pos, axis=1)
-            parts_d.append(d2c)
-            parts_i.append(idc)
-        md = jnp.concatenate(parts_d, axis=1)
-        mi = jnp.concatenate(parts_i, axis=1)
+            idx = cand[:, c0 : c0 + ch].astype(jnp.int32)
+            got = jnp.take_along_axis(
+                lut, idx.transpose(0, 2, 1), axis=2
+            )  # [B, m, ch]
+            parts.append(jnp.maximum(jnp.sum(got, axis=1), 0.0))
+        d2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        d2 = jnp.where(cand_ids >= 0, d2, INF)
+        ids = jnp.where(cand_ids >= 0, cand_ids, PAD_ID)
+        md = jnp.concatenate([bd, d2], axis=1)
+        mi = jnp.concatenate([bi, ids], axis=1)
         return topk_dist_id(md, mi, k), None
 
     bd0 = jnp.full((b, k), INF, jnp.float32)
