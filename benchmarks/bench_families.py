@@ -74,12 +74,15 @@ def main() -> None:
     rows = []
 
     def timeq(search_sum, arrs, *static):
-        # 4 sub-batches of 8192 unique queries, dispatched async and
-        # synced ONCE per iteration: the scanned IVF searches size their
-        # scoring chunks by batch width at trace time (~512 MB temps at
-        # B=8192), and independent dispatches pipeline on the device so
-        # QPS is the same as one 32k dispatch (DEVNOTES scan-vs-dispatch)
-        sb = 8192
+        # sub-batches of unique queries, dispatched async and synced
+        # ONCE per iteration: the scanned IVF searches size their scoring
+        # chunks by batch width at trace time, and independent dispatches
+        # pipeline on the device so QPS matches one 32k dispatch
+        # (DEVNOTES scan-vs-dispatch)
+        # B=4096: the largest per-dispatch batch measured stable for the
+        # scanned searches on this worker (B=8192 PQ programs fault —
+        # DEVNOTES "IVF at 1M"); 8 async sub-batches pipeline identically
+        sb = 4096
         subs = [qbig[i : i + sb] for i in range(0, NQ, sb)]
         int(sum(search_sum(arrs, s_, *static) for s_ in subs))  # warm
         t0 = time.time()
@@ -159,8 +162,11 @@ def main() -> None:
         return _rerank(qs, arrs[5], arrs[6], d, i, K)
 
     chosen = None
-    for p, rr in ((16, 40), (32, 40), (32, 100), (64, 100), (128, 100),
-                  (128, 200), (256, 200)):
+    # p is capped at 16: probe counts >=32 at these 1M shapes fault the
+    # TPU worker (DEVNOTES "IVF at 1M"), and coverage is not the limiter
+    # (ivf-flat reads 0.9999 recall at p=8 on this data) — ADC ordering
+    # noise is, which the exact rerank depth addresses.
+    for p, rr in ((8, 40), (16, 40), (16, 100), (16, 200), (16, 400)):
         _, ids = pq_search(q1k, p, rr)
         rec = float(np.mean([
             len(set(a) & t) / K

@@ -41,7 +41,7 @@ import numpy as np
 
 from ..errors import DimensionMismatch
 from ..ops.distance import l2sq, normalize
-from ..ops.quant import dequantize, quantize
+from ..ops.quant import dequantize, quantize, quantize_np
 from ..ops.topk import INF, PAD_ID, sort_dist_id
 
 # Dense Lloyd materializes an [N, C] f32 distance block per step; past
@@ -149,29 +149,32 @@ def _ivf_search(q, centroids, blocks, bscales, block_ids, n_probe: int, k: int):
         sd, si = sort_dist_id(d2, ids)
         return jnp.sqrt(sd[:, :k]), si[:, :k]
 
+    # the probed block is gathered ONCE per step as u8 (its cheap form);
+    # only the dequantize+l2sq runs in slices of that materialized array.
+    # (Slicing the GATHER itself — blocks[li, c0:c0+ch] — materializes a
+    # [C, ch, d] copy of the sliced table per chunk: measured 19x slower
+    # at 1M/B=4096. DEVNOTES "IVF at 1M".)
     ch = min(lmax, max(64, (1 << 29) // max(b * d * 4, 1)))
 
     def step(carry, pi):
         bd, bi = carry
         li = probe[:, pi]  # [B]
+        cand = blocks[li]  # [B, Lmax, d] u8 — one contiguous gather
+        sc_full = None if bscales is None else bscales[li]
         ids_full = block_ids[li]  # [B, Lmax]
-        parts_d, parts_i = [bd], [bi]
+        parts = []
         for c0 in range(0, lmax, ch):
-            candc = blocks[li, c0 : c0 + ch]  # [B, ch, d] sliced gather
-            if bscales is not None:
-                sc = bscales[li, c0 : c0 + ch]
+            candc = cand[:, c0 : c0 + ch]
+            if sc_full is not None:
+                sc = sc_full[:, c0 : c0 + ch]
                 candc = (candc.astype(jnp.float32) * sc[..., 1:2]
                          + sc[..., 0:1])
-            d2c = l2sq(q[:, None, :], candc)
-            idc = ids_full[:, c0 : c0 + ch]
-            d2c = jnp.where(idc >= 0, d2c, INF)
-            idc = jnp.where(idc >= 0, idc, PAD_ID)
-            kk = min(k, d2c.shape[1])
-            nv, pos = jax.lax.top_k(-d2c, kk)
-            parts_d.append(-nv)
-            parts_i.append(jnp.take_along_axis(idc, pos, axis=1))
-        md = jnp.concatenate(parts_d, axis=1)
-        mi = jnp.concatenate(parts_i, axis=1)
+            parts.append(l2sq(q[:, None, :], candc))
+        d2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        d2 = jnp.where(ids_full >= 0, d2, INF)
+        ids = jnp.where(ids_full >= 0, ids_full, PAD_ID)
+        md = jnp.concatenate([bd, d2], axis=1)
+        mi = jnp.concatenate([bi, ids], axis=1)
         return topk_dist_id(md, mi, k), None
 
     bd0 = jnp.full((b, k), INF, jnp.float32)
@@ -225,14 +228,21 @@ class IVFFlatIndex:
             self.n_lists = max(1, int(np.sqrt(n)))
         c = min(self.n_lists, n)
         self.n_lists = c
-        self.codes, self.scales = quantize(jnp.asarray(vectors))
+        # quantize on HOST (native C++ kernel, bit-matched to the device
+        # path — tests/test_quant.py): uploads u8 codes (4x less than
+        # f32 vectors) and keeps the numpy copies _pack needs, instead
+        # of fetching 96 MB of codes back through a ~5 MB/s dev link
+        # (DEVNOTES) after a device-side quantize
+        codes_np, scales_np = quantize_np(vectors)
+        self.codes = jnp.asarray(codes_np)
+        self.scales = jnp.asarray(scales_np)
         self._n = n
         cent, assign = _coarse_kmeans(
             self.codes, self.scales, c, self.kmeans_iters, self.seed
         )
         self.centroids = cent
         self._assign = np.asarray(assign)
-        self._pack()
+        self._pack(codes_np=codes_np, scales_np=scales_np)
         return np.arange(n, dtype=np.int32)
 
     def add(self, vectors: np.ndarray) -> np.ndarray:
@@ -342,11 +352,14 @@ class IVFFlatIndex:
             vectors = np.asarray(normalize(vectors))
         return vectors
 
-    def _pack(self) -> None:
+    def _pack(self, codes_np: np.ndarray | None = None,
+              scales_np: np.ndarray | None = None) -> None:
         """Vectorized repack of codes/scales into padded per-list blocks
         (sorted-by-list, position = (list, within-list rank)), with ~25%
         width headroom so subsequent :meth:`add` calls scatter into tail
-        slots instead of repacking."""
+        slots instead of repacking. ``codes_np``/``scales_np``: host
+        copies when the caller already has them (train_add's host
+        quantize) — skips a device->host fetch of the whole code table."""
         c, n, d = self.n_lists, self._n, self.dim
         order = np.argsort(self._assign, kind="stable")
         srt = self._assign[order]
@@ -358,19 +371,22 @@ class IVFFlatIndex:
         lmax += min(max(lmax // 4, 8), 1024)  # add headroom
         bids = np.full((c, lmax), -1, np.int32)
         bids[srt, within] = order.astype(np.int32)
+        if codes_np is None:
+            codes_np = np.asarray(self.codes[:n])
+            scales_np = np.asarray(self.scales[:n])
         if self.quantized_blocks:
             blocks = np.zeros((c, lmax, d), np.uint8)
             bsc = np.zeros((c, lmax, 2), np.float32)
             bsc[..., 1] = 1.0  # identity scale on pad rows
-            blocks[srt, within] = np.asarray(self.codes[:n])[order]
-            bsc[srt, within] = np.asarray(self.scales[:n])[order]
+            blocks[srt, within] = codes_np[:n][order]
+            bsc[srt, within] = scales_np[:n][order]
             self.blocks = jnp.asarray(blocks)
             self.bscales = jnp.asarray(bsc)
         else:
             blocks = np.zeros((c, lmax, d), np.float32)
-            blocks[srt, within] = np.asarray(
-                dequantize(self.codes[:n], self.scales[:n])
-            )[order]
+            deq = (codes_np[:n].astype(np.float32) * scales_np[:n, 1:2]
+                   + scales_np[:n, 0:1])
+            blocks[srt, within] = deq[order]
             self.blocks = jnp.asarray(blocks)
             self.bscales = None
         self.block_ids = jnp.asarray(bids)
