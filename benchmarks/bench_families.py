@@ -71,9 +71,27 @@ def main() -> None:
     qbig = dequantize(*quantize(jnp.asarray(ds.test)))
     raw_bytes = N * D * 4
 
+    out_path = os.path.join(ROOT, "benchmarks", "FAMILIES.json")
     rows = []
+    if os.path.exists(out_path) and "--refresh" not in sys.argv:
+        with open(out_path) as f:
+            rows = json.load(f).get("rows", [])
 
-    def timeq(search_sum, arrs, *static):
+    def have(family):
+        return any(r.get("family") == family for r in rows)
+
+    def write_rows():
+        # incremental merge-on-write: a crash mid-run (the TPU worker
+        # fault modes of DEVNOTES "IVF at 1M") preserves completed rows,
+        # and reruns skip families already measured unless --refresh
+        out = {"dataset": f"synthetic-clustered n={N} d={D} seed=42 "
+                          "(bench.py's regime and ground truth)",
+               "rows": rows}
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {out_path}", flush=True)
+
+    def timeq(search_sum, arrs, *static, sb=4096, total=None):
         # sub-batches of unique queries, dispatched async and synced
         # ONCE per iteration: the scanned IVF searches size their scoring
         # chunks by batch width at trace time, and independent dispatches
@@ -82,17 +100,21 @@ def main() -> None:
         # B=4096: the largest per-dispatch batch measured stable for the
         # scanned searches on this worker (B=8192 PQ programs fault —
         # DEVNOTES "IVF at 1M"); 8 async sub-batches pipeline identically
-        sb = 4096
-        subs = [qbig[i : i + sb] for i in range(0, NQ, sb)]
+        nq = total or NQ
+        subs = [qbig[i : i + sb] for i in range(0, nq, sb)]
         int(sum(search_sum(arrs, s_, *static) for s_ in subs))  # warm
         t0 = time.time()
         iters = 0
         while time.time() - t0 < 5.0 or iters < 3:
             int(sum(search_sum(arrs, s_, *static) for s_ in subs))
             iters += 1
-        return NQ * iters / (time.time() - t0)
+        return nq * iters / (time.time() - t0)
 
     # ---- IVF-Flat ----------------------------------------------------
+    if have("ivf-flat"):
+        print("ivf-flat: cached row kept (pass --refresh to re-measure)",
+              flush=True)
+        return _pq_part(ROOT)
     t0 = time.time()
     ivf = IVFFlatIndex(D, n_lists=C, kmeans_iters=6)
     ivf.train_add(ds.train)
@@ -132,9 +154,66 @@ def main() -> None:
         "build_vps": round(N / build_s, 1),
     })
     print(json.dumps(rows[-1]), flush=True)
+    write_rows()
     del ivf, arrs
+    _pq_part(ROOT)
 
-    # ---- IVF-PQ (4x-compressed codes + exact rerank) -----------------
+
+def _pq_part(ROOT) -> None:
+    import functools  # noqa: F401
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hnsw_rs_tpu.models.ivfpq import IVFPQIndex, _ivfpq_search, _rerank
+    from hnsw_rs_tpu.ops.quant import dequantize, quantize
+    from hnsw_rs_tpu.utils.datasets import synthetic_clustered
+
+    N = 100_000 if "--quick" in sys.argv else int(
+        os.environ.get("HNSW_BENCH_N", "1000000")
+    )
+    D, K, NQ, NQ_RECALL = 96, 10, 32768, 4096
+    C = max(64, N // 122)
+    out_path = os.path.join(ROOT, "benchmarks", "FAMILIES.json")
+    rows = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            rows = json.load(f).get("rows", [])
+    if any(r.get("family") == "ivf-pq" for r in rows)             and "--refresh" not in sys.argv:
+        print("ivf-pq: cached row kept (pass --refresh to re-measure)",
+              flush=True)
+        return
+    cache = os.path.join(ROOT, ".bench_cache")
+    truth = np.load(os.path.join(cache, f"gt_n{N}_d{D}_q{NQ_RECALL}.npz"))["ids"]
+    truth_sets = [set(t) for t in truth]
+    ds = synthetic_clustered(N, D, n_queries=NQ, seed=42)
+    q1k = dequantize(*quantize(jnp.asarray(ds.test[:NQ_RECALL])))
+    qbig = dequantize(*quantize(jnp.asarray(ds.test)))
+    raw_bytes = N * D * 4
+
+    def write_rows():
+        with open(out_path, "w") as f:
+            json.dump({"dataset": f"synthetic-clustered n={N} d={D} "
+                                  "seed=42 (bench.py's regime and ground "
+                                  "truth)",
+                       "rows": rows}, f, indent=2)
+        print(f"wrote {out_path}", flush=True)
+
+    def timeq(search_sum, arrs, *static, sb=1024, total=8192):
+        # B=1024 sub-batches, 8192 timed queries: the only PQ batch shape
+        # measured stable on this worker all session (B=4096 timing loops
+        # wedged twice, B=8192 programs fault — DEVNOTES "IVF at 1M");
+        # async sub-batches pipeline so QPS is batch-size-honest
+        subs = [qbig[i : i + sb] for i in range(0, total, sb)]
+        int(sum(search_sum(arrs, s_, *static) for s_ in subs))  # warm
+        t0 = time.time()
+        iters = 0
+        while time.time() - t0 < 5.0 or iters < 3:
+            int(sum(search_sum(arrs, s_, *static) for s_ in subs))
+            iters += 1
+        return total * iters / (time.time() - t0)
+
     t0 = time.time()
     pq = IVFPQIndex(D, n_lists=C, m_pq=24, kmeans_iters=6, rerank=4 * K)
     pq.train_add(ds.train)
@@ -150,8 +229,13 @@ def main() -> None:
     arrs = (pq.centroids, pq.codebooks, pq.blocks, pq.block_ids, pq.rot,
             jnp.asarray(pq.codes), jnp.asarray(pq.scales))
 
-    @functools.partial(jax.jit, static_argnames=("p", "k", "rr"))
     def pq_sum(a, q, p, k, rr):
+        # deliberately NOT one fused jit: composing the already-compiled
+        # _ivfpq_search and _rerank programs (the exact programs the
+        # recall ladder ran) plus two eager sum dispatches. A fused
+        # wrapper is a NEW mega-program whose remote compile wedged >25
+        # minutes on this tunnel (round 5); the two extra dispatches are
+        # noise at these batch sizes.
         d, i = _ivfpq_search(q, a[0], a[1], a[2], a[3], a[4], p, max(k, rr))
         d, i = _rerank(q, a[5], a[6], d, i, k)
         return jnp.sum(i) + jnp.sum(d).astype(jnp.int32)
