@@ -48,7 +48,10 @@ def _big_main() -> None:
     from hnsw_rs_tpu.ops.quant import dequantize, quantize
     from hnsw_rs_tpu.utils.datasets import synthetic_clustered
 
-    N, D, M, EFC, K, PIVOTS = 2_000_000, 96, 24, 128, 10, 16384
+    # PIVOTS=32768: the cluster build emits ~N/96 = ~20.8k per-cluster
+    # reps at 2M; a 16384 budget under-covers them and recall collapses
+    # to ~0.15 (measured — the DEVNOTES seedless-micro-region mode)
+    N, D, M, EFC, K, PIVOTS = 2_000_000, 96, 24, 128, 10, 32768
     NQ = 256
     ds = synthetic_clustered(N, D, n_queries=NQ, seed=7)
 
