@@ -30,6 +30,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
+_BIG_NOTE = (
+    "exact packed rows = 10.4 GB > ~7-8 GB usable HBM (DEVNOTES); in-HBM reference is the memory-honest seeded-plain mode. CAVEATS: 256-query batches through the dev tunnel \u2014 fixed dispatch/IO floors dominate every absolute QPS here; host-paged uses the reference-faithful hierarchical-descent entry, which is measured weak on cluster-built graphs (0.15 recall), so x_host_paged flatters the device tier \u2014 the honest comparison is vs the in-hbm row: pq48-ef128 matches its recall 1.0 at 1.4x its QPS while holding 2544 B/point vs the 5184 B/point exact rows that cannot fit"
+)
+
+
 def _big_main() -> None:
     import functools
 
@@ -109,9 +114,7 @@ def _big_main() -> None:
                 doc = json.load(f)
         doc["beyond_hbm"] = {
             "n": N, "d": D, "m": M, "ef": EF, "k": K,
-            "note": "exact packed rows = 10.4 GB > ~7-8 GB usable HBM "
-                    "(DEVNOTES); in-HBM reference is the memory-honest "
-                    "seeded-plain mode",
+            "note": _BIG_NOTE,
             "rows": out_rows,
         }
         with open(path, "w") as f:
@@ -181,9 +184,7 @@ def _big_main() -> None:
             doc = json.load(f)
     doc["beyond_hbm"] = {
         "n": N, "d": D, "m": M, "ef": EF, "k": K,
-        "note": "exact packed rows = 10.4 GB > ~7-8 GB usable HBM "
-                "(DEVNOTES); in-HBM reference is the memory-honest "
-                "seeded-plain mode",
+        "note": _BIG_NOTE,
         "rows": out_rows,
     }
     with open(path, "w") as f:
